@@ -1,0 +1,632 @@
+"""Index building pipeline.
+
+Re-derivation of BuildIndex/buildAnIndex (ref: lexicmap/cmd/lib-index-build.go
+:205-1909) as a vectorized, batch-oriented pipeline:
+
+  parse genomes -> concatenate contigs with interval A's -> capture (mask)
+  -> low-complexity filter -> desert filling -> suffix (reversed k-mer)
+  dispatch -> columnar postings sort -> seed chunks + genome store.
+
+Differences from the reference (by design, TPU-first):
+- postings are accumulated as flat arrays and sorted once per batch
+  (lexsort by mask, k-mer, emission order) instead of per-mask hash maps
+  guarded by mutexes (ref: lib-index-build.go:638,825-879): the scatter
+  becomes a deterministic sort, which is also the multi-host story
+  (global sort / all-to-all of postings).
+- the seed store is fixed-width columnar (see index/store.py).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..constants import (
+    BITS_GENOME_IDX,
+    BITS_NONE_IDX,
+    MASK_NONE_IDX,
+    MAX_GENOME_SIZE,
+    IndexDefaults,
+)
+from ..masks import MaskSet
+from ..ops.masking import capture, find_gap_regions, skip_mask_from_regions
+from ..utils.fasta import genome_id_from_filename, read_fastx
+from ..utils.kmers import (
+    homopolymer_codes,
+    is_low_complexity_dust,
+    kmers_fwd_rc,
+    reverse_kmers,
+    seq_to_codes,
+)
+from .store import (
+    DIR_GENOMES,
+    DIR_SEEDS,
+    FILE_GENOME_CHUNKS,
+    FILE_GENOME_MAP,
+    FILE_INFO,
+    FILE_MASKS,
+    GenomeStoreWriter,
+    IndexInfo,
+    SeedChunkWriter,
+    batch_dir,
+    chunk_dir,
+    write_genome_chunks,
+    write_genome_map,
+)
+
+
+@dataclass
+class BuildOptions:
+    k: int = IndexDefaults.K
+    n_masks: int = IndexDefaults.MASKS
+    rand_seed: int = IndexDefaults.RAND_SEED
+    mask_file: str | None = None
+    batch_size: int = IndexDefaults.BATCH_SIZE
+    chunks: int = 0  # 0 -> min(cpus, 128)
+    partitions: int = IndexDefaults.PARTITIONS
+    max_genome_size: int = IndexDefaults.MAX_GENOME_SIZE
+    min_seq_len: int = -1
+    contig_interval: int = IndexDefaults.CONTIG_INTERVAL
+    seed_max_desert: int = IndexDefaults.SEED_MAX_DESERT
+    seed_in_desert_dist: int = IndexDefaults.SEED_IN_DESERT_DIST
+    disable_desert_filling: bool = False
+    max_kmer_freq: int = IndexDefaults.MAX_KMER_FREQ
+    soft_masking: bool = False
+    save_seed_pos: bool = False
+    seq_name_filters: list[str] = field(default_factory=list)
+    big_genome_file: str | None = None
+    force: bool = False
+    verbose: bool = False
+
+    @property
+    def desert_seed_pos_range(self) -> int:
+        # ref: index.go:329 (seedInDesertDist / 2)
+        return self.seed_in_desert_dist // 2
+
+
+# skipped-genome report reasons (ref: lib-index-build.go:459-466)
+NO_VALID_SEQS = "no_valid_seqs"
+TOO_LARGE_GENOME = "too_large_genome"
+TOO_MANY_SEQS = "too_many_seqs"
+
+
+@dataclass
+class _GenomeChunk:
+    """One indexed genome record (a whole genome, or one chunk of a big one)."""
+
+    gid: bytes
+    file_idx: int  # original input-file index (to group split chunks)
+    codes: np.ndarray  # seeding codes (degenerate->first base)
+    seq_sizes: list[int]
+    seq_ids: list[bytes]
+    gap_regions: list[tuple[int, int]] = field(default_factory=list)  # N-runs >=5
+
+
+def _parse_genome_file(
+    path: str, file_idx: int, opt: BuildOptions, skipped: list[tuple[str, str]]
+) -> list[_GenomeChunk]:
+    """Parse one genome file into one or more concatenated chunks
+    (ref: lib-index-build.go:1492-1766)."""
+    k = opt.k
+    min_seq_len = max(opt.min_seq_len if opt.min_seq_len > 0 else k, k)
+    interval = opt.contig_interval
+    exclude_res = [re.compile(p.encode()) for p in opt.seq_name_filters]
+    gid = genome_id_from_filename(path).encode()[:65535]
+
+    chunks: list[_GenomeChunk] = []
+    parts: list[bytes] = []
+    seq_sizes: list[int] = []
+    seq_ids: list[bytes] = []
+    cur_len = 0
+
+    def flush():
+        nonlocal parts, seq_sizes, seq_ids, cur_len
+        if cur_len > 0:
+            seq = (b"A" * interval).join(parts)
+            chunks.append(
+                _GenomeChunk(
+                    gid=gid,
+                    file_idx=file_idx,
+                    codes=seq_to_codes(seq),
+                    seq_sizes=seq_sizes,
+                    seq_ids=seq_ids,
+                    gap_regions=find_gap_regions(seq),
+                )
+            )
+        parts, seq_sizes, seq_ids, cur_len = [], [], [], 0
+
+    for rec in read_fastx(path):
+        if len(rec.seq) < min_seq_len:
+            continue
+        if exclude_res and any(r.search(rec.desc) for r in exclude_res):
+            continue
+        if len(rec.seq) > opt.max_genome_size:
+            skipped.append((path, TOO_LARGE_GENOME))
+            return []
+        add = len(rec.seq) + (interval if cur_len > 0 else 0)
+        if cur_len + add > opt.max_genome_size:
+            flush()
+            add = len(rec.seq)
+        parts.append(rec.seq)
+        seq_sizes.append(len(rec.seq))
+        seq_ids.append(rec.id[:65535])
+        cur_len += add
+        if cur_len > MAX_GENOME_SIZE:
+            skipped.append((path, TOO_MANY_SEQS))
+            return []
+    flush()
+    if not chunks:
+        skipped.append((path, NO_VALID_SEQS))
+    return chunks
+
+
+# --------------------------------------------------------------------------
+# per-genome seeding
+
+
+def _skip_regions_for(g: _GenomeChunk, k: int, interval: int):
+    """Contig-junction intervals + N-gap runs (ref: lib-index-build.go:968-1014).
+
+    Returns (skip_regions, interval_excluded) where interval_excluded is a
+    bool array over positions used by desert filling's point queries.
+    """
+    regions: list[tuple[int, int]] = []
+    if len(g.seq_sizes) > 1:
+        n = 0
+        for i, s in enumerate(g.seq_sizes):
+            if i > 0:
+                regions.append((n, n + interval - 1))
+                n += interval
+            n += s
+    if g.gap_regions:
+        regions.extend(g.gap_regions)
+        regions.sort()
+    L = g.codes.shape[0]
+    interval_excluded = skip_mask_from_regions(L, k, regions) if regions else None
+    return regions, interval_excluded
+
+
+def seed_genome(
+    mask_set: MaskSet,
+    g: _GenomeChunk,
+    opt: BuildOptions,
+):
+    """Capture + low-complexity filter + desert filling for one genome chunk.
+
+    Returns (cap_kmers[m], cap_result, extras, locs) where extras is a list of
+    (mask_idx, kmer, loc) and locs the sorted seed locations (pos<<1|strand).
+    """
+    k = mask_set.k
+    regions, interval_excluded = _skip_regions_for(g, k, opt.contig_interval)
+    fwd, rc = kmers_fwd_rc(g.codes, k)
+    res = capture(
+        mask_set, g.codes, skip_regions=regions, check_shorter_prefix=True, precomputed=(fwd, rc)
+    )
+
+    # remove low-complexity captured k-mers (ref: lib-index-build.go:1031-1044)
+    ccc, ggg, ttt = homopolymer_codes(k)[1:]
+    bad = (
+        (res.kmers == ccc)
+        | (res.kmers == ggg)
+        | (res.kmers == ttt)
+        | is_low_complexity_dust(res.kmers, k)
+    )
+    res.kmers[bad] = 0
+    # zero out their position lists
+    if bad.any():
+        keep_counts = np.where(bad, 0, res.n_positions())
+        new_off = np.zeros(mask_set.m + 1, dtype=np.int64)
+        np.cumsum(keep_counts, out=new_off[1:])
+        new_flat = np.empty(new_off[-1], dtype=np.uint32)
+        for i in np.nonzero(~bad)[0]:
+            new_flat[new_off[i] : new_off[i + 1]] = res.positions(i)
+        res.pos_flat = new_flat
+        res.pos_offsets = new_off
+
+    locs = np.sort(res.pos_flat.astype(np.uint32))
+
+    extras: list[tuple[int, int, int]] = []
+    if not opt.disable_desert_filling:
+        extras = fill_deserts(mask_set, fwd, rc, locs, interval_excluded, opt)
+
+    return res, extras, locs
+
+
+def _dust_scalar(x: int, k: int) -> bool:
+    """Scalar DUST check (same semantics as utils.kmers.is_low_complexity_dust)."""
+    counts: dict[int, int] = {}
+    score = 0
+    for i in range(k - 1):
+        t = (x >> (2 * i)) & 63
+        c = counts.get(t, 0)
+        score += c
+        counts[t] = c + 1
+        if score > 50:
+            return True
+    return False
+
+
+class _DesertWindow:
+    """Lazy capturability checks inside one desert window.
+
+    Instead of materializing the full position->mask capture maps for the
+    window (the reference's loc2maskidx, ref: lib-index-build.go:1215-1229),
+    capturability is decided per scanned position: k-mer x is captured by
+    mask m iff prefix(m) == prefix(x) and x is the argmin of (y XOR m) over
+    the window k-mers y sharing that prefix.  Both the mask candidates and the
+    competitor k-mers are contiguous ranges of sorted arrays, so each check is
+    two tiny binary searches plus an argmin over a handful of values.
+    On capture by several masks, the HIGHEST mask index wins, mirroring the
+    reference's ascending overwrite order.
+    """
+
+    def __init__(self, mask_set: MaskSet, wf: np.ndarray, wr: np.ndarray):
+        self.ms = mask_set
+        self.k = mask_set.k
+        self.p = mask_set.prefix_len
+        self.shift = np.uint64(2 * (self.k - self.p))
+        self.sorted_w = np.sort(np.concatenate([wf, wr]))
+        self.plo, self.phi = mask_set.prefix_ranges()
+
+    def capturing_mask(self, x: int) -> int:
+        """Highest mask index capturing k-mer x in this window, or -1."""
+        pref = x >> (2 * (self.k - self.p))
+        mlo, mhi = int(self.plo[pref]), int(self.phi[pref])
+        if mhi <= mlo:
+            return -1
+        lo_val = np.uint64(pref) << self.shift
+        hi_val = np.uint64(pref + 1) << self.shift if pref + 1 < (1 << (2 * self.p)) else None
+        lo = int(np.searchsorted(self.sorted_w, lo_val, side="left"))
+        hi = (
+            int(np.searchsorted(self.sorted_w, hi_val, side="left"))
+            if hi_val is not None
+            else self.sorted_w.shape[0]
+        )
+        bucket = self.sorted_w[lo:hi]
+        cands = self.ms.masks[mlo:mhi]
+        xors = bucket[None, :] ^ cands[:, None]
+        winners = bucket[np.argmin(xors, axis=1)]
+        capt = np.nonzero(winners == np.uint64(x))[0]
+        if capt.shape[0] == 0:
+            return -1
+        return mlo + int(capt[-1])
+
+
+def fill_deserts(
+    mask_set: MaskSet,
+    fwd: np.ndarray,
+    rc: np.ndarray,
+    locs: np.ndarray,
+    interval_excluded: np.ndarray | None,
+    opt: BuildOptions,
+) -> list[tuple[int, int, int]]:
+    """Fill sketching deserts (ref: lib-index-build.go:1084-1405).
+
+    Scans the sorted seed locations; for every gap >= seed_max_desert, the
+    +-1000 bp region is re-masked (prefix-restricted capture) and roughly
+    every seed_in_desert_dist bases the nearest capturable, non-low-complexity
+    k-mer (either strand) is added as an extra seed of its capturing mask.
+
+    fwd/rc are the genome-wide k-mer arrays (both strands, every position).
+    """
+    k = mask_set.k
+    nk = fwd.shape[0]  # number of k-mer positions = L - k + 1
+    L = nk + k - 1
+    max_desert = opt.seed_max_desert
+    seed_dist = opt.seed_in_desert_dist
+    seed_pos_r = opt.desert_seed_pos_range
+    ccc, ggg, ttt = homopolymer_codes(k)[1:]
+
+    extras: list[tuple[int, int, int]] = []
+    if nk <= 0:
+        return extras
+
+    def pos_ok(gp: int) -> bool:
+        """Position not in an interval/gap region and within k-mer range."""
+        if gp >= nk:
+            return False
+        if interval_excluded is not None and gp < interval_excluded.shape[0]:
+            return not bool(interval_excluded[gp])
+        return True
+
+    dust_cache: dict[int, bool] = {}
+
+    def kmer_ok(x: int) -> bool:
+        if x == 0 or x == ccc or x == ggg or x == ttt:
+            return False
+        v = dust_cache.get(x)
+        if v is None:
+            v = _dust_scalar(x, k)
+            dust_cache[x] = v
+        return not v
+
+    pre = 0
+    locs_aug = np.concatenate([locs, np.array([(L - k) << 1], dtype=np.uint32)])
+    for pos2str in locs_aug:
+        pos = int(pos2str) >> 1
+        d = pos - pre
+        if d < max_desert:
+            pre = pos
+            continue
+
+        start = pre - 1000
+        pos_of_pre = 1000
+        if start < 0:
+            pos_of_pre += start
+            start = 0
+        end = min(pos + 1000 + k, L)
+        nw = end - start - k + 1
+        if nw <= 0:
+            pre = pos
+            continue
+        pos_of_cur = pos_of_pre + d
+
+        win = _DesertWindow(mask_set, fwd[start : start + nw], rc[start : start + nw])
+
+        def try_pos(_j: int):
+            """Returns (mask_idx, kmer, loc) or None."""
+            gp = start + _j
+            if _j >= nw or not pos_ok(gp):
+                return None
+            xf = int(fwd[gp])
+            if kmer_ok(xf):
+                im = win.capturing_mask(xf)
+                if im >= 0:
+                    return (im, xf, gp << 1)
+            xr = int(rc[gp])
+            if kmer_ok(xr):
+                im = win.capturing_mask(xr)
+                if im >= 0:
+                    return (im, xr, (gp << 1) | 1)
+            return None
+
+        _j = pos_of_pre + seed_dist
+        while _j < pos_of_cur:
+            _start = _j + 1
+            _end_up = _j - seed_pos_r
+            hit = None
+            # upstream scan
+            while _j > _end_up:
+                hit = try_pos(_j)
+                if hit is not None:
+                    break
+                _j -= 1
+            if hit is not None:
+                extras.append(hit)
+                _j += seed_dist
+                continue
+            if _start >= pos_of_cur:
+                break
+            # downstream scan
+            _end_dn = min(_start + seed_pos_r, pos_of_cur - 1)
+            _j = _start
+            while _j < _end_dn:
+                hit = try_pos(_j)
+                if hit is not None:
+                    break
+                _j += 1
+            if hit is not None:
+                extras.append(hit)
+            _j += seed_dist
+
+        pre = pos
+    return extras
+
+
+# --------------------------------------------------------------------------
+# batch building
+
+
+class _PostingsAccumulator:
+    def __init__(self):
+        self.mask_ids: list[np.ndarray] = []
+        self.kmers: list[np.ndarray] = []
+        self.values: list[np.ndarray] = []
+        self.orders: list[np.ndarray] = []
+
+    def add(self, mask_ids, kmers, values, orders):
+        if len(mask_ids):
+            self.mask_ids.append(np.asarray(mask_ids, dtype=np.int64))
+            self.kmers.append(np.asarray(kmers, dtype=np.uint64))
+            self.values.append(np.asarray(values, dtype=np.uint64))
+            self.orders.append(np.asarray(orders, dtype=np.int64))
+
+    def arrays(self):
+        if not self.mask_ids:
+            e = np.empty(0, dtype=np.int64)
+            return e, np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64), e
+        return (
+            np.concatenate(self.mask_ids),
+            np.concatenate(self.kmers),
+            np.concatenate(self.values),
+            np.concatenate(self.orders),
+        )
+
+
+def _emit_postings(
+    mask_set: MaskSet,
+    res,
+    extras: list[tuple[int, int, int]],
+    batch: int,
+    genome_idx: int,
+    genome_rank: int,
+    acc: _PostingsAccumulator,
+    max_kmer_freq: int,
+) -> None:
+    """Emit forward + reversed (suffix-index) postings of one genome
+    (ref: lib-index-build.go:668-890)."""
+    m = mask_set.m
+    k = mask_set.k
+    idx_shift = np.uint64((batch << BITS_GENOME_IDX | genome_idx) << BITS_NONE_IDX)
+
+    counts = res.n_positions()
+    has = (res.kmers != 0) & (counts > 0)
+    sel = np.nonzero(has)[0]
+    # forward captured
+    mask_ids = np.repeat(sel, counts[sel])
+    kmers = np.repeat(res.kmers[sel], counts[sel])
+    locs = np.concatenate([res.positions(i) for i in sel]) if sel.shape[0] else np.empty(0, np.uint32)
+    fwd_vals = idx_shift | ((locs.astype(np.uint64) << np.uint64(1)) & np.uint64(MASK_NONE_IDX))
+    base = np.int64(genome_rank) << np.int64(34)
+    n0 = mask_ids.shape[0]
+    acc.add(mask_ids, kmers, fwd_vals, base + np.arange(n0))
+
+    # forward extras
+    if extras:
+        e_masks = np.array([e[0] for e in extras], dtype=np.int64)
+        e_kmers = np.array([e[1] for e in extras], dtype=np.uint64)
+        e_locs = np.array([e[2] for e in extras], dtype=np.uint64)
+        if max_kmer_freq > 0:
+            keep = _filter_kmer_freq(e_masks, e_kmers, max_kmer_freq)
+            e_masks, e_kmers, e_locs = e_masks[keep], e_kmers[keep], e_locs[keep]
+        e_vals = idx_shift | ((e_locs << np.uint64(1)) & np.uint64(MASK_NONE_IDX))
+        n1 = e_masks.shape[0]
+        acc.add(e_masks, e_kmers, e_vals, base + (np.int64(1) << 32) + np.arange(n1))
+    else:
+        e_masks = np.empty(0, dtype=np.int64)
+        e_kmers = np.empty(0, dtype=np.uint64)
+        e_locs = np.empty(0, dtype=np.uint64)
+
+    # reversed k-mers -> the mask sharing the longest prefix (suffix index)
+    all_kmers = np.concatenate([res.kmers[sel], e_kmers])
+    all_locs_list = [locs, e_locs.astype(np.uint32)]
+    # positions per entry: captured entries have [counts] locs, extras have 1
+    rev_counts = np.concatenate([counts[sel], np.ones(e_kmers.shape[0], dtype=np.int64)])
+    if all_kmers.shape[0]:
+        rkmers = reverse_kmers(all_kmers, k)
+        new_masks = mask_set.nearest_mask(rkmers)
+        r_mask_ids = np.repeat(new_masks, rev_counts)
+        r_kmers = np.repeat(rkmers, rev_counts)
+        r_locs = np.concatenate(all_locs_list).astype(np.uint64)
+        r_vals = idx_shift | (((r_locs << np.uint64(1)) | np.uint64(1)) & np.uint64(MASK_NONE_IDX))
+        n2 = r_mask_ids.shape[0]
+        acc.add(r_mask_ids, r_kmers, r_vals, base + (np.int64(2) << 32) + np.arange(n2))
+
+
+def _filter_kmer_freq(masks: np.ndarray, kmers: np.ndarray, max_freq: int) -> np.ndarray:
+    """Keep only the first max_freq occurrences of each (mask, kmer) pair
+    (ref: lib-index-build.go:737-750)."""
+    keep = np.ones(masks.shape[0], dtype=bool)
+    seen: dict[tuple[int, int], int] = {}
+    for i, (m, km) in enumerate(zip(masks, kmers)):
+        c = seen.get((int(m), int(km)), 0) + 1
+        seen[(int(m), int(km))] = c
+        if c > max_freq:
+            keep[i] = False
+    return keep
+
+
+def build_index(outdir: str, infiles: list[str], opt: BuildOptions) -> IndexInfo:
+    if os.path.exists(outdir):
+        if opt.force:
+            shutil.rmtree(outdir)
+        elif os.listdir(outdir):
+            raise FileExistsError(f"output dir not empty: {outdir} (use force)")
+    os.makedirs(outdir, exist_ok=True)
+
+    # masks
+    if opt.mask_file:
+        mask_set = MaskSet.load_text(opt.mask_file)
+        opt.k = mask_set.k
+    else:
+        mask_set = MaskSet.generate(opt.k, opt.n_masks, opt.rand_seed)
+    mask_set.save(os.path.join(outdir, FILE_MASKS))
+    m = mask_set.m
+
+    n_chunks = opt.chunks if opt.chunks > 0 else min(os.cpu_count() or 1, 128)
+    n_chunks = min(n_chunks, m)
+    chunk_size = (m + n_chunks - 1) // n_chunks
+
+    os.makedirs(os.path.join(outdir, DIR_SEEDS), exist_ok=True)
+
+    skipped: list[tuple[str, str]] = []
+    genome_map_entries: list[tuple[bytes, int]] = []
+    file_chunk_lists: dict[int, list[int]] = {}
+    total_bases = 0
+    n_genomes = 0
+
+    n_batches = (len(infiles) + opt.batch_size - 1) // opt.batch_size
+    batch_postings: list[_PostingsAccumulator] = []
+
+    for batch in range(n_batches):
+        files = infiles[batch * opt.batch_size : (batch + 1) * opt.batch_size]
+        acc = _PostingsAccumulator()
+        gw = GenomeStoreWriter(os.path.join(outdir, DIR_GENOMES, batch_dir(batch)), batch)
+        genome_rank = 0
+        for fi, path in enumerate(files):
+            file_idx = batch * opt.batch_size + fi
+            chunks = _parse_genome_file(path, file_idx, opt, skipped)
+            for g in chunks:
+                res, extras, locs = seed_genome(mask_set, g, opt)
+                gidx = gw.write(g.gid, g.codes, g.seq_sizes, g.seq_ids)
+                _emit_postings(
+                    mask_set, res, extras, batch, gidx, genome_rank, acc, opt.max_kmer_freq
+                )
+                code = batch << BITS_GENOME_IDX | gidx
+                genome_map_entries.append((g.gid, code))
+                file_chunk_lists.setdefault(file_idx, []).append(code)
+                total_bases += sum(g.seq_sizes)
+                n_genomes += 1
+                genome_rank += 1
+                if opt.verbose:
+                    print(f"  [batch {batch}] indexed {g.gid.decode()} ({sum(g.seq_sizes)} bp)")
+        gw.close()
+        batch_postings.append(acc)
+
+    # write seed chunks (merged over batches: batch ranks are encoded in the
+    # posting order keys via genome_rank? no - merge by concatenating per-batch
+    # arrays in batch order, the lexsort in SeedChunkWriter keeps order stable)
+    for c in range(n_chunks):
+        begin = c * chunk_size
+        end = min(begin + chunk_size, m)
+        mask_ids_l, kmers_l, values_l, orders_l = [], [], [], []
+        for b, acc in enumerate(batch_postings):
+            mask_ids, kmers, values, orders = acc.arrays()
+            in_chunk = (mask_ids >= begin) & (mask_ids < end)
+            mask_ids_l.append(mask_ids[in_chunk])
+            kmers_l.append(kmers[in_chunk])
+            values_l.append(values[in_chunk])
+            # make batch the top-level order key
+            orders_l.append(orders[in_chunk] + (np.int64(b) << np.int64(52)))
+        w = SeedChunkWriter(os.path.join(outdir, DIR_SEEDS, chunk_dir(c)), begin, end)
+        w.write(
+            np.concatenate(mask_ids_l),
+            np.concatenate(kmers_l),
+            np.concatenate(values_l),
+            np.concatenate(orders_l),
+        )
+
+    write_genome_map(os.path.join(outdir, FILE_GENOME_MAP), genome_map_entries)
+    write_genome_chunks(
+        os.path.join(outdir, FILE_GENOME_CHUNKS),
+        [v for v in file_chunk_lists.values() if len(v) > 1],
+    )
+
+    if opt.big_genome_file and skipped:
+        with open(opt.big_genome_file, "w") as fh:
+            for path, reason in skipped:
+                fh.write(f"{path}\t{reason}\n")
+
+    info = IndexInfo(
+        k=opt.k,
+        masks=m,
+        rand_seed=opt.rand_seed,
+        max_desert=opt.seed_max_desert,
+        seed_dist_in_desert=opt.seed_in_desert_dist,
+        chunks=n_chunks,
+        partitions=opt.partitions,
+        input_genomes=len(file_chunk_lists),
+        input_bases=total_bases,
+        genomes=n_genomes,
+        genome_batch_size=opt.batch_size,
+        genome_batches=n_batches,
+        contig_interval=opt.contig_interval,
+        soft_masking=opt.soft_masking,
+        max_kmer_freq=opt.max_kmer_freq,
+    )
+    info.save(os.path.join(outdir, FILE_INFO))
+    return info

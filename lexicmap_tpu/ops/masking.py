@@ -89,10 +89,13 @@ def find_gap_regions(seq: bytes, min_len: int = 5) -> list[tuple[int, int]]:
 
 
 def candidate_kmers(
-    codes: np.ndarray, k: int, exclude: np.ndarray | None = None
+    codes: np.ndarray,
+    k: int,
+    exclude: np.ndarray | None = None,
+    precomputed: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """(all candidate k-mers incl. both strands, their loc<<1|strand encodings)."""
-    fwd, rc = kmers_fwd_rc(codes, k)
+    fwd, rc = precomputed if precomputed is not None else kmers_fwd_rc(codes, k)
     n = fwd.shape[0]
     if exclude is not None and exclude.any():
         keep = ~exclude
@@ -113,13 +116,14 @@ def capture(
     codes: np.ndarray,
     skip_regions: list[tuple[int, int]] | None = None,
     check_shorter_prefix: bool = True,
+    precomputed: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> CaptureResult:
     k = mask_set.k
     m = mask_set.m
     exclude = None
     if skip_regions:
         exclude = skip_mask_from_regions(codes.shape[0], k, skip_regions)
-    allk, allloc = candidate_kmers(codes, k, exclude)
+    allk, allloc = candidate_kmers(codes, k, exclude, precomputed)
     if allk.shape[0] == 0:
         return CaptureResult(
             kmers=np.zeros(m, dtype=np.uint64),
