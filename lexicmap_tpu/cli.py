@@ -1,0 +1,254 @@
+"""Command-line interface.
+
+Mirrors the reference CLI surface (ref: lexicmap/cmd/root.go:32-47 and
+per-command files): `index`, `search`, and `utils` subcommands, with the same
+flag names and defaults where applicable, and a byte-compatible 20/24-column
+search TSV (ref: search.go:427-519).
+"""
+
+from __future__ import annotations
+
+import argparse
+import gzip
+import sys
+import time
+
+from .constants import IndexDefaults, SearchDefaults
+
+
+def _out_stream(path: str):
+    if path == "-" or not path:
+        return sys.stdout.buffer, False
+    if path.endswith(".gz"):
+        return gzip.open(path, "wb"), True
+    return open(path, "wb"), True
+
+
+# --------------------------------------------------------------------------
+# index
+
+
+def cmd_index(args) -> int:
+    from .index.build import BuildOptions, build_index
+    from .utils.fasta import find_fastx_files
+
+    files = list(args.files)
+    if args.in_dir:
+        files.extend(find_fastx_files(args.in_dir))
+    if args.infile_list:
+        with open(args.infile_list) as fh:
+            files.extend(line.strip() for line in fh if line.strip())
+    if not files:
+        print("no input files", file=sys.stderr)
+        return 1
+    opt = BuildOptions(
+        k=args.kmer,
+        n_masks=args.masks,
+        rand_seed=args.rand_seed,
+        mask_file=args.mask_file or None,
+        batch_size=args.batch_size,
+        chunks=args.chunks,
+        partitions=args.partitions,
+        max_genome_size=args.max_genome,
+        min_seq_len=args.min_seq_len,
+        contig_interval=args.contig_interval,
+        seed_max_desert=args.seed_max_desert,
+        seed_in_desert_dist=args.seed_in_desert_dist,
+        disable_desert_filling=args.no_desert_filling,
+        max_kmer_freq=args.max_kmer_freq,
+        soft_masking=args.soft_masking,
+        save_seed_pos=args.save_seed_pos,
+        seq_name_filters=args.seq_name_filter or [],
+        big_genome_file=args.big_genomes or None,
+        force=args.force,
+        verbose=not args.quiet,
+    )
+    t0 = time.time()
+    info = build_index(args.out_dir, files, opt)
+    if not args.quiet:
+        print(
+            f"indexed {info.genomes} genomes ({info.input_bases} bases) "
+            f"with {info.masks} masks in {time.time() - t0:.2f}s -> {args.out_dir}",
+            file=sys.stderr,
+        )
+    return 0
+
+
+# --------------------------------------------------------------------------
+# search
+
+TSV_HEADER = (
+    "query\tqlen\thits\tsgenome\tsseqid\tqcovGnm\tcls\thsp\tqcovHSP\t"
+    "alenHSP\tpident\tgaps\tqstart\tqend\tsstart\tsend\tsstr\tslen\tevalue\tbitscore"
+)
+
+
+def format_hit_rows(query_id: str, qlen: int, results, all_columns=False):
+    """Yield TSV rows for one query (ref: printResult, search.go:438-535)."""
+    targets = len(results)
+    for r in results:
+        c_idx = 1
+        j = 1
+        for sd in r.details:
+            for c in sd.chains:
+                strand = "-" if sd.rc else "+"
+                row = (
+                    f"{query_id}\t{qlen}\t{targets}\t{r.genome_id.decode()}\t"
+                    f"{sd.seq_id.decode()}\t{r.aligned_fraction:.3f}\t{c_idx}\t{j}\t"
+                    f"{c.aligned_fraction:.3f}\t{c.aligned_length}\t{c.pident:.3f}\t"
+                    f"{c.gaps}\t{c.qbegin + 1}\t{c.qend + 1}\t{c.tbegin + 1}\t"
+                    f"{c.tend + 1}\t{strand}\t{sd.seq_len}\t{c.evalue:.2e}\t{c.bit_score}"
+                )
+                if all_columns:
+                    row += (
+                        f"\t{c.cigar.decode()}\t{c.qseq.decode()}"
+                        f"\t{c.tseq.decode()}\t{c.alignment.decode()}"
+                    )
+                yield row
+                j += 1
+            c_idx += 1
+
+
+def cmd_search(args) -> int:
+    from .index.search import IndexSearcher, SearchOptions
+    from .utils.fasta import read_fastx
+
+    opt = SearchOptions(
+        min_prefix=args.seed_min_prefix,
+        min_single_prefix=args.seed_min_single_prefix,
+        top_n=args.top_n_genomes,
+        top_n_chains=args.top_n_chains,
+        max_gap=args.seed_max_gap,
+        max_distance=args.seed_max_dist,
+        extend_length=args.align_ext_len,
+        min_qcov_genome=args.min_qcov_per_genome,
+        min_qcov_hsp=args.min_qcov_per_hsp,
+        min_identity=args.align_min_match_pident,
+        min_align_len=args.align_min_match_len,
+        align_max_gap=args.align_max_gap,
+        align_band=args.align_band,
+        max_evalue=args.max_evalue,
+        in_memory=args.load_whole_seeds,
+        output_seq=args.all,
+    )
+    t0 = time.time()
+    idx = IndexSearcher(args.index, opt)
+    if not args.quiet:
+        print(f"index loaded in {time.time() - t0:.2f}s", file=sys.stderr)
+
+    out, own = _out_stream(args.out_file)
+    header = TSV_HEADER + ("\tcigar\tqseq\tsseq\talign" if args.all else "")
+    out.write(header.encode() + b"\n")
+
+    n = 0
+    matched = 0
+    t1 = time.time()
+    for path in args.files or ["-"]:
+        fh = sys.stdin.buffer if path == "-" else path
+        for rec in read_fastx(fh):
+            n += 1
+            if len(rec.seq) < idx.k:
+                continue
+            results = idx.search_bytes(rec.seq)
+            if results:
+                matched += 1
+                for row in format_hit_rows(
+                    rec.id.decode(), len(rec.seq), results, args.all
+                ):
+                    out.write(row.encode() + b"\n")
+    if own:
+        out.close()
+    if not args.quiet:
+        el = time.time() - t1
+        print(
+            f"processed {n} queries in {el:.2f}s "
+            f"({n / el * 60:.1f} queries/min), {matched} matched",
+            file=sys.stderr,
+        )
+    return 0
+
+
+# --------------------------------------------------------------------------
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="lexicmap-tpu",
+        description="TPU-native LexicMap-class sequence alignment engine",
+    )
+    p.add_argument("--quiet", action="store_true")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("index", help="build an index from genome files")
+    pi.add_argument("files", nargs="*", help="input FASTA/Q files")
+    pi.add_argument("-I", "--in-dir", default="")
+    pi.add_argument("-X", "--infile-list", default="")
+    pi.add_argument("-O", "--out-dir", required=True)
+    pi.add_argument("-k", "--kmer", type=int, default=IndexDefaults.K)
+    pi.add_argument("-m", "--masks", type=int, default=IndexDefaults.MASKS)
+    pi.add_argument("-s", "--rand-seed", type=int, default=IndexDefaults.RAND_SEED)
+    pi.add_argument("-M", "--mask-file", default="")
+    pi.add_argument("-b", "--batch-size", type=int, default=IndexDefaults.BATCH_SIZE)
+    pi.add_argument("-c", "--chunks", type=int, default=IndexDefaults.CHUNKS)
+    pi.add_argument("--partitions", type=int, default=IndexDefaults.PARTITIONS)
+    pi.add_argument("-g", "--max-genome", type=int, default=IndexDefaults.MAX_GENOME_SIZE)
+    pi.add_argument("-l", "--min-seq-len", type=int, default=IndexDefaults.MIN_SEQ_LEN)
+    pi.add_argument("--contig-interval", type=int, default=IndexDefaults.CONTIG_INTERVAL)
+    pi.add_argument("-D", "--seed-max-desert", type=int, default=IndexDefaults.SEED_MAX_DESERT)
+    pi.add_argument(
+        "-d", "--seed-in-desert-dist", type=int, default=IndexDefaults.SEED_IN_DESERT_DIST
+    )
+    pi.add_argument("--no-desert-filling", action="store_true")
+    pi.add_argument("--max-kmer-freq", type=int, default=IndexDefaults.MAX_KMER_FREQ)
+    pi.add_argument("--soft-masking", action="store_true")
+    pi.add_argument("--save-seed-pos", action="store_true")
+    pi.add_argument("-B", "--seq-name-filter", action="append", default=[])
+    pi.add_argument("-G", "--big-genomes", default="")
+    pi.add_argument("--force", action="store_true")
+    pi.set_defaults(func=cmd_index)
+
+    ps = sub.add_parser("search", help="search query sequences against an index")
+    ps.add_argument("files", nargs="*", help="query FASTA/Q files")
+    ps.add_argument("-d", "--index", required=True)
+    ps.add_argument("-o", "--out-file", default="-")
+    ps.add_argument("-a", "--all", action="store_true")
+    ps.add_argument("-p", "--seed-min-prefix", type=int, default=SearchDefaults.MIN_PREFIX)
+    ps.add_argument(
+        "-P", "--seed-min-single-prefix", type=int, default=SearchDefaults.MIN_SINGLE_PREFIX
+    )
+    ps.add_argument("--seed-max-gap", type=int, default=SearchDefaults.SEED_MAX_GAP)
+    ps.add_argument("--seed-max-dist", type=int, default=SearchDefaults.SEED_MAX_DIST)
+    ps.add_argument("-n", "--top-n-genomes", type=int, default=SearchDefaults.TOP_N_GENOMES)
+    ps.add_argument("-N", "--top-n-chains", type=int, default=SearchDefaults.TOP_N_CHAINS)
+    ps.add_argument("-w", "--load-whole-seeds", action="store_true")
+    ps.add_argument("--align-ext-len", type=int, default=SearchDefaults.ALIGN_EXT_LEN)
+    ps.add_argument("--align-max-gap", type=int, default=SearchDefaults.ALIGN_MAX_GAP)
+    ps.add_argument("--align-band", type=int, default=SearchDefaults.ALIGN_BAND)
+    ps.add_argument(
+        "-l", "--align-min-match-len", type=int, default=SearchDefaults.ALIGN_MIN_MATCH_LEN
+    )
+    ps.add_argument(
+        "-i",
+        "--align-min-match-pident",
+        type=float,
+        default=SearchDefaults.ALIGN_MIN_MATCH_PIDENT,
+    )
+    ps.add_argument(
+        "-q", "--min-qcov-per-hsp", type=float, default=SearchDefaults.MIN_QCOV_PER_HSP
+    )
+    ps.add_argument(
+        "-Q", "--min-qcov-per-genome", type=float, default=SearchDefaults.MIN_QCOV_PER_GENOME
+    )
+    ps.add_argument("-e", "--max-evalue", type=float, default=SearchDefaults.MAX_EVALUE)
+    ps.set_defaults(func=cmd_search)
+
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

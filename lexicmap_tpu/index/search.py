@@ -1,0 +1,801 @@
+"""Search engine: the 4-phase per-query pipeline.
+
+Re-derivation of Index.Search (ref: lib-index-search.go:1154-2897):
+
+  1) MASK     capture the query with the index masks (+ low-complexity filter)
+  2) MATCH    prefix matching of captured k-mers against the sorted per-mask
+              seed arrays, plus suffix matching via reversed k-mers dispatched
+              to their nearest mask; decode postings into per-genome anchors
+  3) CHAIN    ClearSubstrPairs + Chainer DP per candidate genome; keep top-N
+  4) ALIGN    per chain: extract the extended target window, pseudo-align
+              (SeqComparator+Chainer2), extend 2-mer boundaries, gap-affine
+              global alignment, BLAST-like scoring, HSP filtering; then
+              genome-chunk merging, qcovGnm, and output ordering
+
+All per-mask operations are vectorized over sorted arrays (two binary
+searches replace the reference's anchor-index + varint scan,
+ref: cmd/kv/kv-searcher.go:263-611).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..constants import (
+    BITS_GENOME_IDX,
+    BITS_IDX,
+    BITS_IDX_FLAGS,
+    BITS_NONE_IDX,
+    MASK_GENOME_IDX,
+    SearchDefaults,
+)
+from ..masks import MaskSet
+from ..ops.align import align, alignment_text, score_and_evalue, trim_ops
+from ..ops.chaining import Anchors, ChainingOptions, chain, clear_substr_pairs, seed_weight
+from ..ops.chaining2 import Chain2Result, Chaining2Options
+from ..ops.extend import extend_match
+from ..ops.masking import capture
+from ..ops.seqcompare import SeqComparator, SeqComparatorOptions, coverage_len
+from ..utils.kmers import (
+    homopolymer_codes,
+    is_low_complexity_dust,
+    kmer_lcp,
+    reverse_kmers,
+    seq_to_codes,
+)
+from .store import (
+    DIR_GENOMES,
+    DIR_SEEDS,
+    FILE_GENOME_CHUNKS,
+    FILE_GENOME_MAP,
+    FILE_INFO,
+    FILE_MASKS,
+    GenomeStoreReader,
+    IndexInfo,
+    SeedChunkReader,
+    batch_dir,
+    chunk_dir,
+    read_genome_chunks,
+    read_genome_map,
+)
+
+
+@dataclass
+class SearchOptions:
+    """Mirror of IndexSearchingOptions + the SeqComparator wiring
+    (ref: lib-index-search.go:56-105, search.go:306-383)."""
+
+    min_prefix: int = SearchDefaults.MIN_PREFIX
+    min_single_prefix: int = SearchDefaults.MIN_SINGLE_PREFIX
+    top_n: int = SearchDefaults.TOP_N_GENOMES
+    top_n_chains: int = SearchDefaults.TOP_N_CHAINS
+    max_gap: float = SearchDefaults.SEED_MAX_GAP
+    max_distance: float = SearchDefaults.SEED_MAX_DIST
+    extend_length: int = SearchDefaults.ALIGN_EXT_LEN
+    extend_length2: int = SearchDefaults.EXTEND_LENGTH2
+    min_qcov_genome: float = SearchDefaults.MIN_QCOV_PER_GENOME
+    min_qcov_hsp: float = SearchDefaults.MIN_QCOV_PER_HSP
+    min_identity: float = SearchDefaults.ALIGN_MIN_MATCH_PIDENT
+    min_align_len: int = SearchDefaults.ALIGN_MIN_MATCH_LEN
+    align_max_gap: int = SearchDefaults.ALIGN_MAX_GAP
+    align_band: int = SearchDefaults.ALIGN_BAND
+    max_evalue: float = SearchDefaults.MAX_EVALUE
+    in_memory: bool = False
+    output_seq: bool = False  # -a/--all
+
+    def chaining_options(self) -> ChainingOptions:
+        return ChainingOptions(
+            max_gap=self.max_gap,
+            min_score=float(seed_weight(self.min_single_prefix)),
+            max_distance=self.max_distance,
+            top_chains=self.top_n_chains,
+        )
+
+    def seqcompare_options(self) -> SeqComparatorOptions:
+        # ref: search.go:361-383
+        return SeqComparatorOptions(
+            k=SearchDefaults.CMP_K,
+            min_prefix=SearchDefaults.CMP_MIN_PREFIX,
+            chaining=Chaining2Options(
+                max_gap=self.align_max_gap,
+                min_score=int(self.min_align_len * self.min_identity / 100),
+                min_align_len=self.min_align_len,
+                min_identity=self.min_identity,
+                band_base=self.align_band,
+                band_count=self.align_band // 2,
+                heuristic_kmer_pident_threshold=(
+                    SearchDefaults.HEURISTIC_KMER_PIDENT_THRESHOLD
+                ),
+            ),
+            min_aligned_fraction=self.min_qcov_hsp,
+            min_identity=self.min_identity,
+        )
+
+
+@dataclass
+class SeqDetail:
+    """Mirror of SimilarityDetail (ref: lib-index-search.go:1062-1083)."""
+
+    rc: bool
+    n_seeds: int
+    similarity_score: float
+    chains: list[Chain2Result]
+    aligned_bases: int
+    seq_id: bytes
+    seq_idx: int
+    n_seqs: int
+    seq_len: int
+    n_chunks: int = 1
+    chunk_idx: int = 0
+
+
+@dataclass
+class GenomeHit:
+    """Mirror of SearchResult (ref: lib-index-search.go:986-1003)."""
+
+    batch_genome_index: int
+    genome_batch: int
+    genome_index: int
+    genome_id: bytes = b""
+    genome_size: int = 0
+    num_seqs: int = 0
+    score: float = 0.0
+    details: list[SeqDetail] = field(default_factory=list)
+    aligned_fraction: float = 0.0  # qcovGnm
+
+
+def searchsorted_segments(vals, lo0, hi0, queries, side="left"):
+    """Vectorized binary search of queries[i] within vals[lo0[i]:hi0[i]]."""
+    lo = lo0.astype(np.int64).copy()
+    hi = hi0.astype(np.int64).copy()
+    q = queries
+    while True:
+        active = lo < hi
+        if not active.any():
+            break
+        mid = (lo + hi) >> 1
+        v = vals[np.where(active, mid, 0)]
+        if side == "left":
+            right = v < q
+        else:
+            right = v <= q
+        lo = np.where(active & right, mid + 1, lo)
+        hi = np.where(active & ~right, mid, hi)
+    return lo
+
+
+class IndexSearcher:
+    def __init__(self, db_dir: str, opt: SearchOptions | None = None):
+        self.path = db_dir
+        self.opt = opt or SearchOptions()
+        self.info = IndexInfo.load(os.path.join(db_dir, FILE_INFO))
+        self.mask_set = MaskSet.load(os.path.join(db_dir, FILE_MASKS))
+        self.k = self.mask_set.k
+        self.total_bases = self.info.input_bases
+        self.contig_interval = self.info.contig_interval
+
+        self.chunks: list[SeedChunkReader] = []
+        seeds_dir = os.path.join(db_dir, DIR_SEEDS)
+        for name in sorted(os.listdir(seeds_dir)):
+            rdr = SeedChunkReader(os.path.join(seeds_dir, name), mmap=not self.opt.in_memory)
+            if self.opt.in_memory:
+                rdr.load_in_memory()
+            self.chunks.append(rdr)
+
+        self.genome_stores: list[GenomeStoreReader] = []
+        genomes_dir = os.path.join(db_dir, DIR_GENOMES)
+        for b in range(self.info.genome_batches):
+            self.genome_stores.append(GenomeStoreReader(os.path.join(genomes_dir, batch_dir(b))))
+
+        self.id_of_code: dict[int, bytes] = {}
+        for gid, code in read_genome_map(os.path.join(db_dir, FILE_GENOME_MAP)):
+            self.id_of_code[code] = gid
+
+        self.genome_chunks = read_genome_chunks(os.path.join(db_dir, FILE_GENOME_CHUNKS))
+        self.genome_chunk_idx: dict[int, tuple[int, int]] = {}
+        self.genome_chunk_group: dict[int, int] = {}
+        for gi, lst in enumerate(self.genome_chunks):
+            for ci, code in enumerate(lst):
+                self.genome_chunk_idx[code] = (len(lst), ci)
+                self.genome_chunk_group[code] = gi
+
+        self._ccc, self._ggg, self._ttt = homopolymer_codes(self.k)[1:]
+
+    # ------------------------------------------------------------------
+    # phase 1+2: masking + seed matching
+
+    def _mask_query(self, qcodes: np.ndarray):
+        res = capture(self.mask_set, qcodes, None, check_shorter_prefix=True)
+        kmers = res.kmers.copy()
+        bad = (
+            (kmers == self._ccc)
+            | (kmers == self._ggg)
+            | (kmers == self._ttt)
+            | is_low_complexity_dust(kmers, self.k)
+        )
+        kmers[bad] = 0  # positions kept, like the reference
+        return kmers, res
+
+    def _reversed_query_kmers(self, kmers: np.ndarray):
+        """Dispatch reversed captured k-mers to their nearest mask
+        (ref: lib-index-search.go:1229-1309).  Returns (new_mask, rev_kmer,
+        orig_mask) arrays, deduplicated per (new_mask, rev_kmer) keeping the
+        lowest original mask."""
+        sel = np.nonzero(kmers != 0)[0]
+        if sel.shape[0] == 0:
+            e = np.empty(0, dtype=np.int64)
+            return e, np.empty(0, dtype=np.uint64), e
+        rev = reverse_kmers(kmers[sel], self.k)
+        newm = self.mask_set.nearest_mask(rev)
+        order = np.lexsort((sel, rev, newm))
+        nm = newm[order]
+        rv = rev[order]
+        om = sel[order]
+        first = np.ones(nm.shape[0], dtype=bool)
+        first[1:] = (nm[1:] != nm[:-1]) | (rv[1:] != rv[:-1])
+        return nm[first], rv[first], om[first]
+
+    def _match_chunk(self, rdr: SeedChunkReader, mask_ids, qkmers, want_rev: bool):
+        """Range-match query k-mers against one chunk's entries.
+
+        mask_ids: absolute mask index per query k-mer (within chunk range)
+        Returns (hit_entry_idx, hit_query_row, lcp) arrays."""
+        p = self.opt.min_prefix
+        k = self.k
+        suf = np.uint64((1 << (2 * (k - p))) - 1)
+        rel = mask_ids - rdr.mask_begin
+        seg_lo = rdr.mask_offsets[rel]
+        seg_hi = rdr.mask_offsets[rel + 1]
+        lb = qkmers & ~suf
+        rb = qkmers | suf
+        entry_kmers = rdr.kmers
+        e0 = searchsorted_segments(entry_kmers, seg_lo, seg_hi, lb, side="left")
+        e1 = searchsorted_segments(entry_kmers, seg_lo, seg_hi, rb, side="right")
+        counts = e1 - e0
+        nz = counts > 0
+        if not nz.any():
+            e = np.empty(0, dtype=np.int64)
+            return e, e, e
+        idx = _ranges_to_indices(e0[nz], e1[nz])
+        qrow = np.repeat(np.nonzero(nz)[0], counts[nz])
+        # entry-level flag check: the FIRST posting's reverse flag must match
+        # (ref: kv-searcher.go:447-469)
+        first_vals = rdr.values[rdr.entry_offsets[idx]]
+        flag_ok = (first_vals & np.uint64(1)) == np.uint64(1 if want_rev else 0)
+        idx = idx[flag_ok]
+        qrow = qrow[flag_ok]
+        if idx.shape[0] == 0:
+            e = np.empty(0, dtype=np.int64)
+            return e, e, e
+        lcp = kmer_lcp(np.asarray(entry_kmers[idx]), qkmers[qrow], k)
+        return idx, qrow, lcp
+
+    def _collect_anchors(self, qcodes: np.ndarray):
+        """Phases 1+2; returns dict refBatchAndIdx -> Anchors."""
+        k = self.k
+        kmers, capres = self._mask_query(qcodes)
+        rnew, rkmers, rorig = self._reversed_query_kmers(kmers)
+
+        all_vals = []
+        all_lcp = []
+        all_qloc_entry = []  # per-hit: index of the orig mask (for query locs)
+        all_rev = []
+
+        for rdr in self.chunks:
+            # ---- prefix search ----
+            mb, me = rdr.mask_begin, rdr.mask_end
+            mask_ids = np.arange(mb, me)
+            qk = kmers[mb:me]
+            sel = qk != 0
+            if sel.any():
+                mi = mask_ids[sel]
+                qks = qk[sel]
+                eidx, qrow, lcp = self._match_chunk(rdr, mi, qks, want_rev=False)
+                if eidx.shape[0]:
+                    v_idx = _ranges_to_indices(
+                        np.asarray(rdr.entry_offsets[eidx]),
+                        np.asarray(rdr.entry_offsets[eidx + 1]),
+                    )
+                    per = np.asarray(rdr.entry_offsets[eidx + 1]) - np.asarray(
+                        rdr.entry_offsets[eidx]
+                    )
+                    all_vals.append(np.asarray(rdr.values[v_idx]))
+                    all_lcp.append(np.repeat(lcp, per))
+                    all_qloc_entry.append(np.repeat(mi[qrow], per))
+                    all_rev.append(np.zeros(int(per.sum()), dtype=bool))
+
+            # ---- suffix search (reversed k-mers assigned to this chunk) ----
+            insel = (rnew >= mb) & (rnew < me)
+            if insel.any():
+                mi = rnew[insel]
+                qks = rkmers[insel]
+                orig = rorig[insel]
+                eidx, qrow, lcp = self._match_chunk(rdr, mi, qks, want_rev=True)
+                if eidx.shape[0]:
+                    v_idx = _ranges_to_indices(
+                        np.asarray(rdr.entry_offsets[eidx]),
+                        np.asarray(rdr.entry_offsets[eidx + 1]),
+                    )
+                    per = np.asarray(rdr.entry_offsets[eidx + 1]) - np.asarray(
+                        rdr.entry_offsets[eidx]
+                    )
+                    all_vals.append(np.asarray(rdr.values[v_idx]))
+                    all_lcp.append(np.repeat(lcp, per))
+                    all_qloc_entry.append(np.repeat(orig[qrow], per))
+                    all_rev.append(np.ones(int(per.sum()), dtype=bool))
+
+        if not all_vals:
+            return {}
+
+        vals = np.concatenate(all_vals)
+        lcps = np.concatenate(all_lcp).astype(np.int64)
+        qmask = np.concatenate(all_qloc_entry).astype(np.int64)
+        # suffix-search flag per VALUE row is not needed: the value's own
+        # reverse bit drives the coordinate fix-up (ref: lib-index-search.go
+        # :1451-1483); qmask gives the query-locs source either way.
+
+        # expand by query locations of the originating mask
+        qloc_counts = capres.n_positions()[qmask]
+        keep = qloc_counts > 0
+        vals = vals[keep]
+        lcps = lcps[keep]
+        qmask = qmask[keep]
+        qloc_counts = qloc_counts[keep]
+        if vals.shape[0] == 0:
+            return {}
+
+        off = capres.pos_offsets
+        qloc_idx = _ranges_to_indices(off[qmask], off[qmask] + qloc_counts)
+        rep = qloc_counts.astype(np.int64)
+        vals = np.repeat(vals, rep)
+        lcps = np.repeat(lcps, rep)
+        qlocs = capres.pos_flat[qloc_idx].astype(np.int64)
+
+        # decode posting values
+        ref_idx = (vals >> np.uint64(BITS_NONE_IDX)).astype(np.int64)
+        pos_t = ((vals << np.uint64(BITS_IDX)) >> np.uint64(BITS_IDX_FLAGS)).astype(np.int64)
+        rv_t = (vals & np.uint64(1)).astype(bool)
+        rc_t = ((vals >> np.uint64(1)) & np.uint64(1)).astype(bool)
+
+        rc_q = (qlocs & 1).astype(bool)
+        pos_q = qlocs >> 1
+
+        # coordinate fix-ups (ref: lib-index-search.go:1455-1483)
+        begin_q = np.where(
+            ~rv_t,
+            np.where(rc_q, pos_q + k - lcps, pos_q),
+            np.where(rc_q, pos_q, pos_q + k - lcps),
+        )
+        begin_t = np.where(
+            ~rv_t,
+            np.where(rc_t, pos_t + k - lcps, pos_t),
+            np.where(rc_t, pos_t, pos_t + k - lcps),
+        )
+
+        # group by genome
+        order = np.argsort(ref_idx, kind="stable")
+        ref_sorted = ref_idx[order]
+        bounds = np.nonzero(np.diff(ref_sorted))[0] + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [ref_sorted.shape[0]]])
+        out = {}
+        for s, e in zip(starts, ends):
+            rid = int(ref_sorted[s])
+            sl = order[s:e]
+            out[rid] = Anchors(begin_q[sl], begin_t[sl], lcps[sl], rc_q[sl], rc_t[sl])
+        return out
+
+    # ------------------------------------------------------------------
+    # phase 3: chaining
+
+    def _chain_genomes(self, per_genome: dict):
+        copt = self.opt.chaining_options()
+        min_score = copt.min_score
+        hits = []
+        for rid, anchors in per_genome.items():
+            a = clear_substr_pairs(anchors, self.k) if len(anchors) > 1 else anchors
+            paths, score = chain(a, copt)
+            if score < min_score or not paths:
+                continue
+            hit = GenomeHit(
+                batch_genome_index=rid,
+                genome_batch=rid >> BITS_GENOME_IDX,
+                genome_index=rid & MASK_GENOME_IDX,
+                score=float(score),
+            )
+            hits.append((hit, a, paths))
+        # keep top-N genomes by chaining score
+        top_n = self.opt.top_n
+        if top_n > 0 and len(hits) > top_n:
+            hits.sort(key=lambda t: -t[0].score)
+            hits = hits[:top_n]
+        return hits
+
+    # ------------------------------------------------------------------
+    # phase 4: alignment
+
+    def _align_genome(self, qcodes, hit: GenomeHit, anchors: Anchors, paths, cpr: SeqComparator):
+        """(ref: falin, lib-index-search.go:1845-2720)"""
+        opt = self.opt
+        k = self.k
+        qlen = qcodes.shape[0]
+        ext_len = opt.extend_length
+        store = self.genome_stores[hit.genome_batch]
+        gidx = hit.genome_index
+
+        sds: list[SeqDetail] = []
+        dedup: set = set()
+
+        # sort chains by the TBegin of their first anchor
+        paths = sorted(paths, key=lambda p: int(anchors.tbegin[p[0]]))
+
+        for path in paths:
+            n_seeds = len(path)
+            first = path[0]
+            last = path[-1]
+            qb = int(anchors.qbegin[first])
+            tb = int(anchors.tbegin[first])
+            qe = int(anchors.qbegin[last]) + int(anchors.length[last]) - 1
+            te = int(anchors.tbegin[last]) + int(anchors.length[last]) - 1
+
+            if n_seeds == 1:
+                rc = bool(anchors.qrc[last]) != bool(anchors.trc[last])
+            else:
+                rc = tb > int(anchors.tbegin[last])
+
+            if rc:
+                t_begin = max(int(anchors.tbegin[last]) - ext_len, 0)
+                t_end = tb + int(anchors.length[last]) - 1 + ext_len
+            else:
+                t_begin = max(tb - ext_len, 0)
+                t_end = te + ext_len
+
+            q_begin = qb - min(qb, ext_len)
+            q_end = qe + min(qlen - qe - 1, ext_len)
+
+            trec = store.subseq(gidx, t_begin, t_end)
+            tcodes = np.frombuffer(trec.seq, dtype=np.uint8)
+            if tcodes.shape[0] < t_end - t_begin + 1:
+                t_end -= t_end - t_begin + 1 - tcodes.shape[0]
+            if rc:
+                tcodes = (np.uint8(3) - tcodes)[::-1]
+
+            cr = cpr.compare(q_begin, q_end, tcodes, qlen)
+            if cr is None:
+                continue
+
+            if hit.genome_size == 0:
+                hit.genome_size = trec.genome_size
+                hit.num_seqs = trec.num_seqs
+                hit.genome_id = trec.id
+
+            seq_sizes = trec.seq_sizes
+            n_chunks, chunk_idx = self.genome_chunk_idx.get(hit.batch_genome_index, (1, 0))
+
+            i_seq_pre = -1
+            last_i_seq = -1
+            group: list[Chain2Result] = []
+
+            def flush(group_chains: list[Chain2Result], i_seq: int):
+                self._flush_hsp_group(
+                    sds, group_chains, i_seq, rc, n_seeds, qcodes, tcodes,
+                    t_begin, t_end, qlen, trec, n_chunks, chunk_idx,
+                )
+
+            for c in cr.chains:
+                qb2, qe2, tb2, te2 = c.qbegin, c.qend, c.tbegin, c.tend
+                i_seq = 0
+                t_off_begin = 0
+                if trec.num_seqs > 1:
+                    i_seq, t_off_begin = _find_contig(
+                        seq_sizes, self.contig_interval, k, rc, t_begin, t_end, tb2, te2
+                    )
+                    if i_seq < 0:
+                        continue
+                    if i_seq_pre >= 0 and i_seq != i_seq_pre:
+                        i_seq0 = i_seq
+                        # convert current chain with its own contig offset,
+                        # clamped against the PREVIOUS contig's size (faithful
+                        # to ref lib-index-search.go:2113-2158)
+                        _convert_chain(
+                            c, rc, t_begin, t_end, t_off_begin,
+                            seq_sizes[i_seq_pre], len(tcodes)
+                        )
+                        if group:
+                            flush(group, i_seq_pre)
+                        group = []
+                        # dedup key uses the PREVIOUS contig index here,
+                        # mirroring ref lib-index-search.go:2360
+                        h = (c.qbegin, c.qend, c.tbegin, c.tend, rc, i_seq_pre)
+                        if h not in dedup:
+                            group.append(c)
+                            dedup.add(h)
+                        i_seq_pre = -1
+                        last_i_seq = i_seq0
+                        continue
+                i_seq_pre = i_seq
+                last_i_seq = i_seq
+
+                _convert_chain(
+                    c, rc, t_begin, t_end, t_off_begin, seq_sizes[i_seq], len(tcodes)
+                )
+                h = (c.qbegin, c.qend, c.tbegin, c.tend, rc, i_seq)
+                if h in dedup:
+                    continue
+                dedup.add(h)
+                group.append(c)
+
+            if last_i_seq >= 0 and group:
+                flush(group, last_i_seq)
+
+        if not sds:
+            return None
+
+        if not self.genome_chunk_idx:
+            regions = [(c.qbegin, c.qend) for sd in sds for c in sd.chains]
+            af = min(coverage_len(regions) / qlen * 100, 100.0)
+            hit.aligned_fraction = af
+            if af < opt.min_qcov_genome:
+                return None
+
+        sds.sort(key=lambda sd: -sd.similarity_score)
+        hit.details = sds
+        return hit
+
+    def _flush_hsp_group(
+        self, sds, group, i_seq, rc, n_seeds, qcodes, tcodes,
+        t_begin, t_end, qlen, trec, n_chunks, chunk_idx,
+    ):
+        """Align and score one group of pseudo-chains belonging to one contig
+        (ref: lib-index-search.go:2164-2348 / 2430-2617)."""
+        opt = self.opt
+        ext2_base = opt.extend_length2
+        has_result = False
+        max_sim = 0.0
+        kept: list[Chain2Result] = []
+        for c in group:
+            if c.qbegin >= c.qend + 1:
+                continue
+            if rc:
+                start = t_end - c.tend - c.t_pos_offset_begin
+                end = t_end - c.tbegin - c.t_pos_offset_begin + 1
+            else:
+                start = c.t_pos_offset_begin + c.tbegin - t_begin
+                end = c.t_pos_offset_begin + c.tend - t_begin + 1
+            if start >= end:
+                continue
+            ext2 = ext2_base
+            if c.aligned_bases_q > 1_000_000:
+                ext2 += 80
+            elif c.aligned_bases_q > 250_000:
+                ext2 += 40
+            elif c.aligned_bases_q > 50_000:
+                ext2 += 20
+            elif c.aligned_bases_q > 10_000:
+                ext2 += 10
+            qseq, tseq, s1, e1, s2, e2 = extend_match(
+                qcodes, tcodes, c.qbegin, c.qend + 1, start, end,
+                ext2, c.tbegin, c.max_ext_len, rc,
+            )
+            cigar = align(qseq, tseq)
+            trimmed = cigar.trimmed_ops()
+            score, bits, evalue = score_and_evalue(
+                trimmed, len(qseq), self.total_bases
+            )
+            c.score, c.bit_score, c.evalue = score, bits, evalue
+            if evalue > opt.max_evalue:
+                continue
+
+            c.qbegin -= s1
+            c.qend += e1
+            c.qbegin = c.qbegin + cigar.qbegin - 1
+            c.qend = c.qend - (len(qseq) - cigar.qend)
+            if rc:
+                c.tbegin -= e2
+                c.tend += s2
+                c.tbegin = c.tbegin + (len(tseq) - cigar.tend)
+                c.tend = c.tend - (cigar.tbegin - 1)
+            else:
+                c.tbegin -= s2
+                c.tend += e2
+                c.tbegin = c.tbegin + (cigar.tbegin - 1)
+                c.tend = c.tend - (len(tseq) - cigar.tend)
+
+            c.aligned_bases_q = c.qend - c.qbegin + 1
+            c.aligned_length = cigar.align_len
+            c.matched_bases = cigar.matches
+            c.gaps = cigar.gaps
+            c.aligned_fraction = min(c.aligned_bases_q / qlen * 100, 100.0)
+            c.pident = (
+                c.matched_bases / cigar.align_len * 100 if cigar.align_len else 0.0
+            )
+            if c.aligned_fraction < opt.min_qcov_hsp or c.pident < opt.min_identity:
+                continue
+
+            if opt.output_seq:
+                c.cigar = b"".join(
+                    str(n).encode() + op.encode() for op, n in trimmed
+                )
+                from ..utils.kmers import codes_to_seq
+
+                qtext = codes_to_seq(np.frombuffer(bytes(qseq), dtype=np.uint8))
+                ttext = codes_to_seq(np.frombuffer(bytes(tseq), dtype=np.uint8))
+                qr, ar, tr = alignment_text(trimmed, qtext, ttext)
+                c.qseq, c.alignment, c.tseq = qr, ar, tr
+
+            sim = float(c.bit_score) * c.pident
+            if sim > max_sim:
+                max_sim = sim
+            has_result = True
+            kept.append(c)
+
+        if has_result:
+            from ..ops.seqcompare import SeqComparatorResult
+
+            r2 = SeqComparatorResult()
+            r2.update2(kept, qlen)
+            sds.append(
+                SeqDetail(
+                    rc=rc,
+                    n_seeds=n_seeds,
+                    similarity_score=max_sim,
+                    chains=kept,
+                    aligned_bases=r2.aligned_bases,
+                    seq_id=trec.seq_ids[i_seq] if trec.seq_ids else b"",
+                    seq_idx=i_seq,
+                    n_seqs=trec.num_seqs,
+                    seq_len=trec.seq_sizes[i_seq],
+                    n_chunks=n_chunks,
+                    chunk_idx=chunk_idx,
+                )
+            )
+
+    # ------------------------------------------------------------------
+
+    def search(self, qcodes: np.ndarray) -> list[GenomeHit]:
+        """Full pipeline for one query (already encoded to 2-bit codes)."""
+        if qcodes.shape[0] < self.k:
+            return []
+        per_genome = self._collect_anchors(qcodes)
+        if not per_genome:
+            return []
+        hits = self._chain_genomes(per_genome)
+        if not hits:
+            return []
+
+        cpr = SeqComparator(self.opt.seqcompare_options())
+        cpr.index(qcodes)
+
+        results: list[GenomeHit] = []
+        for hit, anchors, paths in hits:
+            r = self._align_genome(qcodes, hit, anchors, paths, cpr)
+            if r is not None:
+                results.append(r)
+
+        if not results:
+            return []
+
+        # merge genome chunks of the same genome, then (re)compute qcovGnm for
+        # every result (ref: lib-index-search.go:2755-2870)
+        if self.genome_chunk_idx:
+            bygroup: dict[int, list[GenomeHit]] = {}
+            pre: list[GenomeHit] = []
+            for r in results:
+                gi = self.genome_chunk_group.get(r.batch_genome_index)
+                if gi is None:
+                    pre.append(r)
+                else:
+                    bygroup.setdefault(gi, []).append(r)
+            for rs in bygroup.values():
+                main = rs[0]
+                for other in rs[1:]:
+                    main.details.extend(other.details)
+                pre.append(main)
+            qlen = qcodes.shape[0]
+            merged: list[GenomeHit] = []
+            for r in pre:
+                regions = [(c.qbegin, c.qend) for sd in r.details for c in sd.chains]
+                r.aligned_fraction = min(coverage_len(regions) / qlen * 100, 100.0)
+                if r.aligned_fraction < self.opt.min_qcov_genome:
+                    continue
+                r.details.sort(key=lambda sd: -sd.similarity_score)
+                merged.append(r)
+            results = merged
+            if not results:
+                return []
+
+        # sort genomes by the best detail's similarity score
+        results.sort(key=lambda r: -r.details[0].similarity_score)
+        for r in results:
+            r.details = _sort_by_seq_id(r.details)
+            if not r.genome_id:
+                r.genome_id = self.id_of_code.get(r.batch_genome_index, b"?")
+        return results
+
+    def search_bytes(self, seq: bytes) -> list[GenomeHit]:
+        return self.search(seq_to_codes(seq.upper()))
+
+
+def _find_contig(seq_sizes, interval, k, rc, t_begin, t_end, tb2, te2):
+    """Locate the contig containing the matched window region
+    (ref: lib-index-search.go:2049-2100).  Returns (i_seq, t_pos_offset_begin)
+    with i_seq = -1 when the region crosses contigs."""
+    if rc:
+        b, e = t_end - te2 + k, t_end - tb2 - k
+    else:
+        b, e = t_begin + tb2 + k, t_begin + te2 - k
+    if b >= e:
+        if rc:
+            b, e = t_end - te2, t_end - tb2
+        else:
+            b, e = t_begin + tb2, t_begin + te2
+    off_begin = 0
+    off_end = 0
+    for j, l in enumerate(seq_sizes):
+        off_end += l - 1
+        if b + k >= off_begin and e - k <= off_end:
+            return j, off_begin
+        if e < off_begin:
+            return -1, 0
+        off_end += interval + 1
+        off_begin = off_end
+    return -1, 0
+
+
+def _convert_chain(c: Chain2Result, rc, t_begin, t_end, t_off_begin, seq_size, tlen):
+    """Convert window coordinates to contig coordinates
+    (ref: lib-index-search.go:2380-2411)."""
+    qb, qe, tb, te = c.qbegin, c.qend, c.tbegin, c.tend
+    c.t_pos_offset_begin = t_off_begin
+    if rc:
+        c.tbegin = t_begin - t_off_begin + (tlen - te - 1)
+        if c.tbegin < 0:
+            c.qend += c.tbegin
+            c.aligned_bases_q += c.tbegin
+            c.tbegin = 0
+        c.tend = t_begin - t_off_begin + (tlen - tb - 1)
+        if c.tend > seq_size - 1:
+            c.qbegin += c.tend - (seq_size - 1)
+            c.tend = seq_size - 1
+    else:
+        c.tbegin = t_begin - t_off_begin + tb
+        if c.tbegin < 0:
+            c.qbegin -= c.tbegin
+            c.aligned_bases_q += c.tbegin
+            c.tbegin = 0
+        c.tend = t_begin - t_off_begin + te
+        if c.tend > seq_size - 1:
+            c.qend -= c.tend - (seq_size - 1)
+            c.tend = seq_size - 1
+    c.max_ext_len = seq_size - 1 - c.tend
+
+
+def _sort_by_seq_id(sds: list[SeqDetail]) -> list[SeqDetail]:
+    """Group details by SeqID preserving first-occurrence order
+    (ref: SearchResult.SortBySeqID, lib-index-search.go:1005-1058)."""
+    out: list[SeqDetail] = []
+    seen: dict[bytes, list[SeqDetail]] = {}
+    order: list[bytes] = []
+    for sd in sds:
+        if sd.seq_id not in seen:
+            seen[sd.seq_id] = []
+            order.append(sd.seq_id)
+        seen[sd.seq_id].append(sd)
+    for sid in order:
+        out.extend(seen[sid])
+    return out
+
+
+def _ranges_to_indices(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    counts = (hi - lo).astype(np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    out_off = np.zeros(lo.shape[0] + 1, dtype=np.int64)
+    np.cumsum(counts, out=out_off[1:])
+    idx = np.arange(total, dtype=np.int64)
+    seg = np.searchsorted(out_off[1:], idx, side="right")
+    return lo[seg].astype(np.int64) + (idx - out_off[seg])
