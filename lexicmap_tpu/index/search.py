@@ -34,6 +34,7 @@ from ..constants import (
 )
 from ..masks import MaskSet
 from ..ops.align import align, alignment_text, score_and_evalue, trim_ops
+from ..ops.wfa import wfa_align
 from ..ops.chaining import Anchors, ChainingOptions, chain, clear_substr_pairs, seed_weight
 from ..ops.chaining2 import Chain2Result, Chaining2Options
 from ..ops.extend import extend_match
@@ -580,7 +581,9 @@ class IndexSearcher:
                 qcodes, tcodes, c.qbegin, c.qend + 1, start, end,
                 ext2, c.tbegin, c.max_ext_len, rc,
             )
-            cigar = align(qseq, tseq)
+            cigar = wfa_align(qseq, tseq)
+            if cigar is None:  # fallback: banded Gotoh
+                cigar = align(qseq, tseq)
             trimmed = cigar.trimmed_ops()
             score, bits, evalue = score_and_evalue(
                 trimmed, len(qseq), self.total_bases

@@ -23,7 +23,16 @@ from dataclasses import dataclass
 
 import numpy as np
 
-INF = np.int64(1) << np.int64(40)
+INF = np.int64(1) << np.int64(55)
+
+# Optional lexicographic objective (cost, -matches): penalties are scaled by
+# _SCALE and each match column contributes _MATCH_BONUS.  With bonus 0 the
+# traceback prefers diagonal steps, which empirically matches the reference's
+# WFA output on MORE demo rows than globally maximizing matches (the WFA path
+# is furthest-reaching-greedy, i.e. between the two extremes).  Exact parity
+# needs a true WFA forward pass; see ops/align_wfa.py.
+_SCALE = np.int64(1) << np.int64(21)
+_MATCH_BONUS = np.int64(0)
 
 
 @dataclass
@@ -95,7 +104,8 @@ def align(
         out = _align_banded(q, t, mismatch, gap_open, gap_ext, extra)
         full_band = extra >= maxdim
         if out is not None:
-            ops, cost = out
+            ops = out
+            cost = _ops_cost(ops, mismatch, gap_open, gap_ext)
             if cost <= gap_open + gap_ext * extra or full_band:
                 return _finalize(ops, cost, n, m)
         if full_band:
@@ -104,12 +114,27 @@ def align(
         extra *= 2
 
 
+def _ops_cost(ops: list[tuple[str, int]], x: int, o: int, e: int) -> int:
+    c = 0
+    for op, n in ops:
+        if op == "X":
+            c += n * x
+        elif op in ("I", "D"):
+            c += o + n * e
+    return c
+
+
 def _align_banded(q, t, x, o, e, extra):
     n = int(q.shape[0])
     m = int(t.shape[0])
     dlo = min(0, m - n) - extra
     dhi = max(0, m - n) + extra
     B = dhi - dlo + 1
+
+    # scaled penalties with -1 per match column (see _SCALE above)
+    x = np.int64(x) * _SCALE
+    o = np.int64(o) * _SCALE
+    e = np.int64(e) * _SCALE
 
     M = np.full((n + 1, B), INF, dtype=np.int64)
     Q = np.full((n + 1, B), INF, dtype=np.int64)  # gap consuming query ('I')
@@ -135,7 +160,7 @@ def _align_banded(q, t, x, o, e, extra):
             valid = js >= 1
             sub = np.where(
                 valid,
-                np.where(tt[np.maximum(js - 1, 0)] == qq[i - 1], 0, x),
+                np.where(tt[np.maximum(js - 1, 0)] == qq[i - 1], _MATCH_BONUS, x),
                 INF,
             )
             M[i, od] = np.where(valid & (diag < INF), diag + sub, INF)
@@ -169,8 +194,7 @@ def _align_banded(q, t, x, o, e, extra):
     end_off = m - n - dlo
     final = np.array([M[n, end_off], Q[n, end_off], T[n, end_off]])
     state = int(np.argmin(final))  # tie order: M, Q, T
-    cost = int(final[state])
-    if cost >= INF:
+    if final[state] >= INF:
         return None
 
     # ---- traceback (cost-based; prefer extend over open, M over gaps) ----
@@ -218,7 +242,7 @@ def _align_banded(q, t, x, o, e, extra):
             ops[-1] = (opch, ops[-1][1] + 1)
         else:
             ops.append((opch, 1))
-    return ops, cost
+    return ops
 
 
 def _finalize(ops: list[tuple[str, int]], cost: int, qlen: int, tlen: int) -> AlignmentResult:
