@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark: demo-dataset search throughput vs the reference baseline.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference LexicMap demo search speed, 1197.8 queries/min for
+the single 16S gene query on a 16-thread PC (ref: docs/content/tutorials/
+search.md:240-251; BASELINE.md).  The benchmark also verifies output parity
+with the committed golden TSV and reports it in the JSON line.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+BENCH_DIR = os.environ.get("LEXICMAP_TPU_BENCH_DIR", "/tmp/lexicmap_tpu_bench")
+DEMO_DB = os.path.join(BENCH_DIR, "demo.lmt")
+DEMO_REFS = "/root/reference/demo/refs"
+GENE_QUERY = "/root/reference/demo/q.gene.fasta"
+GOLDEN = "/root/reference/demo/q.gene.fasta.lexicmap.tsv"
+BASELINE_QPM = 1197.8  # reference queries/min on the same demo query
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def ensure_index():
+    if os.path.exists(os.path.join(DEMO_DB, "info.json")):
+        return
+    log(f"building demo index at {DEMO_DB} ...")
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    files = sorted(
+        os.path.join(DEMO_REFS, f) for f in os.listdir(DEMO_REFS) if f.endswith(".fa.gz")
+    )
+    t0 = time.time()
+    from lexicmap_tpu.index.build import BuildOptions, build_index
+
+    build_index(DEMO_DB, files, BuildOptions(force=True))
+    log(f"index built in {time.time() - t0:.1f}s")
+
+
+def main():
+    ensure_index()
+
+    from lexicmap_tpu.cli import format_hit_rows
+    from lexicmap_tpu.index.search import IndexSearcher, SearchOptions
+    from lexicmap_tpu.utils.fasta import read_fastx
+
+    idx = IndexSearcher(DEMO_DB, SearchOptions())
+    rec = next(read_fastx(GENE_QUERY))
+
+    # warm-up (first call pays numpy/mmap warmup)
+    hits = idx.search_bytes(rec.seq)
+    rows = list(format_hit_rows(rec.id.decode(), len(rec.seq), hits))
+    golden = [l.rstrip("\n") for l in open(GOLDEN)][1:]
+    parity = rows == golden
+
+    n_rep = 3
+    t0 = time.time()
+    for _ in range(n_rep):
+        idx.search_bytes(rec.seq)
+    elapsed = (time.time() - t0) / n_rep
+    qpm = 60.0 / elapsed
+
+    print(
+        json.dumps(
+            {
+                "metric": "demo_16S_search_throughput",
+                "value": round(qpm, 2),
+                "unit": "queries/min",
+                "vs_baseline": round(qpm / BASELINE_QPM, 4),
+                "golden_tsv_parity": parity,
+                "seconds_per_query": round(elapsed, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -20,6 +20,12 @@ from __future__ import annotations
 import functools
 
 import jax
+
+# Packed k-mers need 64-bit integers.  XLA emulates u64 on TPU; a hi/lo
+# uint32 split representation is the follow-up optimization for the MXU/VPU
+# fast path (min_prefix range search only needs the top 30 bits).
+jax.config.update("jax_enable_x64", True)
+
 import jax.numpy as jnp
 
 PAD_KMER = jnp.uint64(0xFFFFFFFFFFFFFFFF)
