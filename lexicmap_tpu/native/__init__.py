@@ -1,0 +1,192 @@
+"""Native (C++) runtime kernels, compiled on demand and loaded via ctypes.
+
+The Python/NumPy implementations in ops/ remain the reference semantics;
+these kernels are exact mirrors (cross-checked by tests/test_native.py)
+used for the host hot loops: WFA alignment, chaining DPs, anchor dedup.
+
+Set LEXICMAP_TPU_NO_NATIVE=1 to force the pure-Python path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_HERE = os.path.dirname(__file__)
+_SRC = os.path.join(_HERE, "core.cpp")
+_LIB = os.path.join(_HERE, "libcore.so")
+
+_lib = None
+
+
+def _build() -> bool:
+    try:
+        src_mtime = os.path.getmtime(_SRC)
+        if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= src_mtime:
+            return True
+        cmd = [
+            "g++", "-O3", "-march=native", "-std=c++17",
+            "-shared", "-fPIC", _SRC, "-o", _LIB + ".tmp",
+        ]
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(_LIB + ".tmp", _LIB)
+        return True
+    except Exception as exc:  # pragma: no cover
+        print(f"lexicmap_tpu: native build failed ({exc}); using Python path",
+              file=sys.stderr)
+        return False
+
+
+def get_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if os.environ.get("LEXICMAP_TPU_NO_NATIVE"):
+        return None
+    if not _build():
+        return None
+    lib = ctypes.CDLL(_LIB)
+    i8p = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
+    f32p = np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS")
+    f64p = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
+    s8p = np.ctypeslib.ndpointer(dtype=np.int8, flags="C_CONTIGUOUS")
+
+    lib.wfa_align.restype = ctypes.c_int64
+    lib.wfa_align.argtypes = [
+        i8p, ctypes.c_int64, i8p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        i8p, ctypes.c_int64,
+    ]
+    lib.chain2_forward.restype = None
+    lib.chain2_forward.argtypes = [
+        i64p, i64p, i64p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_double, f64p, i64p,
+    ]
+    lib.chain1_forward.restype = None
+    lib.chain1_forward.argtypes = [
+        i32p, i32p, i32p, ctypes.c_int64,
+        ctypes.c_float, ctypes.c_float, ctypes.c_int32, f32p, i64p, s8p,
+    ]
+    lib.clear_substr_pairs_mark.restype = None
+    lib.clear_substr_pairs_mark.argtypes = [
+        i32p, i32p, i32p, ctypes.c_int64, ctypes.c_int32, i8p,
+    ]
+    lib.chain3_chain.restype = ctypes.c_int32
+    lib.chain3_chain.argtypes = [
+        i32p, i32p, i32p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+    ]
+    _lib = lib
+    return _lib
+
+
+def wfa_align_native(q: np.ndarray, t: np.ndarray, x=4, o=6, e=2,
+                     adaptive=True, min_wf_len=10, max_dist_diff=50):
+    """Returns run-length ops [(op, n), ...] or None (fallback needed)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n, m = int(q.shape[0]), int(t.shape[0])
+    cap = 2 * (n + m) + 16
+    out = np.empty(cap, dtype=np.uint8)
+    w = lib.wfa_align(
+        np.ascontiguousarray(q, dtype=np.uint8), n,
+        np.ascontiguousarray(t, dtype=np.uint8), m,
+        x, o, e, 1 if adaptive else 0, min_wf_len, max_dist_diff, out, cap,
+    )
+    if w < 0:
+        return None
+    ops: list[tuple[str, int]] = []
+    buf = out[:w].tobytes().decode("latin1")
+    if not buf:
+        return []
+    prev = buf[0]
+    cnt = 1
+    for ch in buf[1:]:
+        if ch == prev:
+            cnt += 1
+        else:
+            ops.append((prev, cnt))
+            prev = ch
+            cnt = 1
+    ops.append((prev, cnt))
+    return ops
+
+
+def chain2_forward_native(qb, tb, ln, band_base, band_count, max_gap):
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = int(qb.shape[0])
+    scores = np.empty(n, dtype=np.float64)
+    prev = np.empty(n, dtype=np.int64)
+    lib.chain2_forward(
+        np.ascontiguousarray(qb, dtype=np.int64),
+        np.ascontiguousarray(tb, dtype=np.int64),
+        np.ascontiguousarray(ln, dtype=np.int64),
+        n, band_base, band_count, float(max_gap), scores, prev,
+    )
+    return scores, prev
+
+
+def chain1_forward_native(qb, tb, ln, max_gap, min_score, max_dist):
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = int(qb.shape[0])
+    scores = np.empty(n, dtype=np.float32)
+    prev = np.empty(n, dtype=np.int64)
+    dirs = np.empty(n, dtype=np.int8)
+    lib.chain1_forward(
+        np.ascontiguousarray(qb, dtype=np.int32),
+        np.ascontiguousarray(tb, dtype=np.int32),
+        np.ascontiguousarray(ln, dtype=np.int32),
+        n, float(max_gap), float(min_score), int(max_dist), scores, prev, dirs,
+    )
+    return scores, prev, dirs
+
+
+def clear_mark_native(qb, tb, ln, k):
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = int(qb.shape[0])
+    drop = np.empty(n, dtype=np.uint8)
+    lib.clear_substr_pairs_mark(
+        np.ascontiguousarray(qb, dtype=np.int32),
+        np.ascontiguousarray(tb, dtype=np.int32),
+        np.ascontiguousarray(ln, dtype=np.int32),
+        n, int(k), drop,
+    )
+    return drop.astype(bool)
+
+
+def chain3_native(qb, tb, ln, max_gap=5, min_score=1, min_align_len=2,
+                  max_distance=10, band_count=20, band_base=10):
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = int(qb.shape[0])
+    if n == 0:
+        return (False, None)
+    qe = ctypes.c_int32(0)
+    te = ctypes.c_int32(0)
+    ok = lib.chain3_chain(
+        np.ascontiguousarray(qb, dtype=np.int32),
+        np.ascontiguousarray(tb, dtype=np.int32),
+        np.ascontiguousarray(ln, dtype=np.int32),
+        n, max_gap, min_score, min_align_len, max_distance,
+        band_count, band_base, ctypes.byref(qe), ctypes.byref(te),
+    )
+    if not ok:
+        return (False, None)
+    return (True, (int(qe.value), int(te.value)))

@@ -1,0 +1,439 @@
+// Native runtime kernels for lexicmap_tpu (host-side hot loops).
+//
+// These mirror the NumPy reference implementations exactly (the Python test
+// suite cross-checks them):
+//   - wfa_align:    ops/wfa.py       (gap-affine wavefront alignment)
+//   - chain2_forward / chain3_chain: ops/chaining2.py
+//   - chain1_forward:                ops/chaining.py (float32 semantics)
+//   - clear_substr_pairs_mark:       ops/chaining.py (nested-anchor removal)
+//
+// Build: g++ -O3 -march=native -shared -fPIC core.cpp -o libcore.so
+// Loaded via ctypes (lexicmap_tpu/native/__init__.py).
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <vector>
+#include <algorithm>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// WFA (gap-affine, global) — see ops/wfa.py for the formulation.
+// Returns the number of op chars written to ops_out ('M','X','I','D'),
+// or -1 on failure / capacity overflow.
+
+static const int64_t NEG = INT64_MIN / 4;
+
+struct WF {
+    int32_t lo = 0;
+    std::vector<int64_t> M, I, D;
+    bool present = false;
+    inline int64_t get(const std::vector<int64_t>& a, int32_t k) const {
+        int32_t idx = k - lo;
+        if (idx < 0 || idx >= (int32_t)a.size()) return NEG;
+        return a[idx];
+    }
+    inline int64_t getM(int32_t k) const { return get(M, k); }
+    inline int64_t getI(int32_t k) const { return get(I, k); }
+    inline int64_t getD(int32_t k) const { return get(D, k); }
+};
+
+static inline int64_t extend_match(const uint8_t* q, const uint8_t* t,
+                                   int64_t n, int64_t m, int64_t f, int64_t k) {
+    int64_t i = f - k;
+    while (f < m && i < n && q[i] == t[f]) { ++f; ++i; }
+    return f;
+}
+
+int64_t wfa_align(const uint8_t* q, int64_t n, const uint8_t* t, int64_t m,
+                  int32_t x, int32_t o, int32_t e,
+                  int32_t adaptive, int32_t min_wf_len, int32_t max_dist_diff,
+                  uint8_t* ops_out, int64_t ops_cap) {
+    if (n == 0 || m == 0) {
+        int64_t w = 0;
+        for (int64_t i = 0; i < n && w < ops_cap; ++i) ops_out[w++] = 'I';
+        for (int64_t j = 0; j < m && w < ops_cap; ++j) ops_out[w++] = 'D';
+        return w;
+    }
+
+    const int32_t k_end = (int32_t)(m - n);
+    std::vector<WF> wfs;  // indexed by score
+    int64_t max_score =
+        (int64_t)x * std::max(n, m) + 2 * ((int64_t)o + (int64_t)e * std::max(n, m)) + 10;
+
+    wfs.emplace_back();
+    wfs[0].present = true;
+    wfs[0].lo = 0;
+    wfs[0].M.assign(1, extend_match(q, t, n, m, 0, 0));
+    wfs[0].I.assign(1, NEG);
+    wfs[0].D.assign(1, NEG);
+
+    int64_t s_final = -1;
+    if (k_end == 0 && wfs[0].M[0] >= m) {
+        s_final = 0;
+    }
+
+    int64_t s = 0;
+    while (s_final < 0 && s < max_score) {
+        ++s;
+        wfs.emplace_back();  // grow FIRST: element pointers below must stay valid
+        const WF* src_x = (s - x >= 0 && (size_t)(s - x) < wfs.size() && wfs[s - x].present)
+                              ? &wfs[s - x] : nullptr;
+        const WF* src_oe = (s - o - e >= 0 && (size_t)(s - o - e) < wfs.size() &&
+                            wfs[s - o - e].present) ? &wfs[s - o - e] : nullptr;
+        const WF* src_e = (s - e >= 0 && (size_t)(s - e) < wfs.size() && wfs[s - e].present)
+                              ? &wfs[s - e] : nullptr;
+        if (!src_x && !src_oe && !src_e) continue;
+
+        int32_t lo = INT32_MAX, hi = INT32_MIN;
+        auto upd = [&](const WF* w, int32_t dk) {
+            if (!w) return;
+            lo = std::min(lo, w->lo - dk);
+            hi = std::max(hi, w->lo + (int32_t)w->M.size() - 1 + dk);
+        };
+        upd(src_x, 0); upd(src_oe, 1); upd(src_e, 1);
+        int32_t width = hi - lo + 1;
+        WF& wf = wfs[s];
+        wf.present = true;
+        wf.lo = lo;
+        wf.M.assign(width, NEG);
+        wf.I.assign(width, NEG);
+        wf.D.assign(width, NEG);
+
+        for (int32_t idx = 0; idx < width; ++idx) {
+            int32_t k = lo + idx;
+            // D: consume target, from k-1
+            int64_t d_open = src_oe ? src_oe->getM(k - 1) : NEG;
+            int64_t d_ext = src_e ? src_e->getD(k - 1) : NEG;
+            int64_t D = std::max(d_open, d_ext);
+            if (D > NEG) D += 1;
+            // I: consume query, from k+1
+            int64_t i_open = src_oe ? src_oe->getM(k + 1) : NEG;
+            int64_t i_ext = src_e ? src_e->getI(k + 1) : NEG;
+            int64_t I = std::max(i_open, i_ext);
+            // X
+            int64_t mis = src_x ? src_x->getM(k) : NEG;
+            if (mis > NEG) mis += 1;
+
+            int64_t M = std::max(std::max(mis, I), D);
+            int64_t iv = M - k;
+            if (!(M > NEG && M <= m && iv >= 0 && iv <= n)) M = NEG;
+            if (!(I > NEG && I <= m && (I - k) >= 0 && (I - k) <= n)) I = NEG;
+            if (!(D > NEG && D <= m && (D - k) >= 0 && (D - k) <= n)) D = NEG;
+            if (M > NEG) M = extend_match(q, t, n, m, M, k);
+            wf.M[idx] = M;
+            wf.I[idx] = I;
+            wf.D[idx] = D;
+        }
+
+        if (adaptive) {
+            int32_t cnt = 0;
+            int64_t dmin = INT64_MAX;
+            for (int32_t idx = 0; idx < width; ++idx) {
+                if (wf.M[idx] > NEG) {
+                    ++cnt;
+                    int64_t f = wf.M[idx];
+                    int64_t dist = (m - f) + (n - (f - (lo + idx)));
+                    dmin = std::min(dmin, dist);
+                }
+            }
+            if (cnt >= min_wf_len) {
+                for (int32_t idx = 0; idx < width; ++idx) {
+                    if (wf.M[idx] > NEG) {
+                        int64_t f = wf.M[idx];
+                        int64_t dist = (m - f) + (n - (f - (lo + idx)));
+                        if (dist - dmin > max_dist_diff) {
+                            wf.M[idx] = NEG; wf.I[idx] = NEG; wf.D[idx] = NEG;
+                        }
+                    }
+                }
+            }
+        }
+
+        if (k_end >= lo && k_end <= hi && wf.M[k_end - lo] >= m) s_final = s;
+    }
+    if (s_final < 0) return -1;
+
+    // ---- traceback (pref X > D > I on M-ties; gap-open before extend) ----
+    std::vector<uint8_t> rev;
+    rev.reserve((size_t)(n + m));
+    int64_t f = m;
+    int32_t k = k_end;
+    int64_t sc = s_final;
+    char state = 'M';
+    while (true) {
+        if (state == 'M') {
+            if (sc == 0) {
+                for (int64_t z = 0; z < f; ++z) rev.push_back('M');
+                break;
+            }
+            const WF* src_x = (sc - x >= 0 && wfs[sc - x].present) ? &wfs[sc - x] : nullptr;
+            const WF& src_g = wfs[sc];
+            int64_t mis = src_x ? src_x->getM(k) : NEG;
+            if (mis > NEG) mis += 1;
+            int64_t ins = src_g.getI(k);
+            int64_t del = src_g.getD(k);
+            int64_t f_pred = std::max(std::max(mis, ins), del);
+            if (f_pred <= NEG + 2) return -1;
+            for (int64_t z = 0; z < f - f_pred; ++z) rev.push_back('M');
+            f = f_pred;
+            // preference: X, D, I  (calibrated; see ops/wfa.py)
+            if (mis == f_pred) {
+                rev.push_back('X');
+                sc -= x;
+                f -= 1;
+            } else if (del == f_pred) {
+                state = 'D';
+            } else {
+                state = 'I';
+            }
+        } else if (state == 'I') {
+            const WF* src_oe = (sc - o - e >= 0 && wfs[sc - o - e].present)
+                                   ? &wfs[sc - o - e] : nullptr;
+            const WF* src_e = (sc - e >= 0 && wfs[sc - e].present) ? &wfs[sc - e] : nullptr;
+            int64_t op_val = src_oe ? src_oe->getM(k + 1) : NEG;
+            int64_t ext_val = src_e ? src_e->getI(k + 1) : NEG;
+            rev.push_back('I');
+            // gap-open preferred over extension (calibrated)
+            char kind;
+            if (op_val == f) kind = 'o';
+            else if (ext_val == f) kind = 'e';
+            else return -1;
+            k += 1;
+            if (kind == 'e') { sc -= e; }
+            else { sc -= o + e; state = 'M'; }
+        } else {  // 'D'
+            const WF* src_oe = (sc - o - e >= 0 && wfs[sc - o - e].present)
+                                   ? &wfs[sc - o - e] : nullptr;
+            const WF* src_e = (sc - e >= 0 && wfs[sc - e].present) ? &wfs[sc - e] : nullptr;
+            int64_t op_val = src_oe ? src_oe->getM(k - 1) : NEG;
+            int64_t ext_val = src_e ? src_e->getD(k - 1) : NEG;
+            rev.push_back('D');
+            char kind;
+            if (op_val == f - 1) kind = 'o';
+            else if (ext_val == f - 1) kind = 'e';
+            else return -1;
+            k -= 1;
+            f -= 1;
+            if (kind == 'e') { sc -= e; }
+            else { sc -= o + e; state = 'M'; }
+        }
+    }
+    int64_t w = (int64_t)rev.size();
+    if (w > ops_cap) return -1;
+    for (int64_t i2 = 0; i2 < w; ++i2) ops_out[i2] = rev[w - 1 - i2];
+    return w;
+}
+
+// ---------------------------------------------------------------------------
+// Chainer2 forward pass (ref: lib-chaining2.go:222-307; ops/chaining2.py)
+
+void chain2_forward(const int64_t* qb, const int64_t* tb, const int64_t* ln,
+                    int64_t n, int32_t band_base, int32_t band_count,
+                    double max_gap, double* max_scores, int64_t* prev_idx) {
+    max_scores[0] = (double)ln[0];
+    prev_idx[0] = 0;
+    for (int64_t i = 1; i < n; ++i) {
+        int64_t aq = qb[i], at = tb[i];
+        double m = (double)ln[i];
+        int64_t mj = i;
+        int64_t bcount = 0;
+        for (int64_t j = i - 1; j >= 0; --j) {
+            int64_t bq2 = qb[j], bt2 = tb[j];
+            if (bq2 == aq || bt2 > at) continue;
+            ++bcount;
+            int64_t bbase = aq - bq2 - ln[j];
+            if (!(bbase <= band_base || bcount <= band_count)) break;
+            int64_t qd = aq > bq2 ? aq - bq2 : bq2 - aq;
+            int64_t td = at > bt2 ? at - bt2 : bt2 - at;
+            int64_t g = qd > td ? qd - td : td - qd;
+            if ((double)g > max_gap) continue;
+            double sc = max_scores[j] + (double)ln[j] - (double)g;
+            if (sc >= m) { m = sc; mj = j; }
+        }
+        max_scores[i] = m;
+        prev_idx[i] = mj;
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Phase-1 Chainer forward pass with float32 semantics
+// (ref: lib-chaining.go:339-474; ops/chaining.py)
+
+static inline float seed_weight_f(float l) { return 0.1f * l * l; }
+
+static inline float gap_score_f(float g) {
+    if (g == 0.0f) return 0.0f;
+    return 0.1f * g + 0.5f * (float)std::log2((double)g);
+}
+
+void chain1_forward(const int32_t* qb, const int32_t* tb, const int32_t* ln,
+                    int64_t n, float max_gap, float min_score, int32_t max_dist,
+                    float* max_scores, int64_t* prev_idx, int8_t* directions) {
+    max_scores[0] = seed_weight_f((float)ln[0]);
+    prev_idx[0] = 0;
+    directions[0] = 0;
+    for (int64_t i = 1; i < n; ++i) {
+        int32_t aq = qb[i], at = tb[i], al = ln[i];
+        float m = seed_weight_f((float)al);
+        int64_t mj = i;
+        int8_t mdir = 0;
+        for (int64_t j = i - 1; j >= 0; --j) {
+            int32_t bq2 = qb[j], bt2 = tb[j], bl2 = ln[j];
+            int64_t qd = aq - bq2;
+            if (qd > max_dist) break;  // sorted by QBegin: done
+            if (qd == 0) continue;
+            int64_t td = (int64_t)at - bt2;
+            int64_t atd = td < 0 ? -td : td;
+            if (atd > max_dist || td == 0) continue;
+            // gap (direction dependent)
+            double g64;
+            if (at >= bt2) {
+                g64 = std::fabs(std::fabs((double)qd) - std::fabs((double)td));
+            } else {
+                double alt = std::fabs((double)(at + al) - (double)(bt2 + bl2));
+                g64 = std::fabs(std::fabs((double)qd) - alt);
+            }
+            float g = (float)g64;
+            if (g > max_gap) continue;
+            int64_t bqe = bq2 + bl2;
+            float w;
+            if (aq > bqe) {
+                w = seed_weight_f((float)al);
+            } else if (g == 0.0f) {
+                int64_t length = (int64_t)aq + al - bq2;
+                w = -seed_weight_f((float)bl2) + seed_weight_f((float)length);
+            } else {
+                int64_t length = (int64_t)aq + al - bqe;
+                w = seed_weight_f((float)length);
+            }
+            int8_t dir = at >= bt2 ? 1 : -1;
+            float base;
+            if (directions[j] == 0 || directions[j] == dir) base = max_scores[j];
+            else base = seed_weight_f((float)bl2);
+            float sc = (base + w) - gap_score_f(g);
+            if (sc >= min_score && sc > m) { m = sc; mj = j; mdir = dir; }
+        }
+        max_scores[i] = m;
+        prev_idx[i] = mj;
+        directions[i] = mdir;
+    }
+}
+
+// ---------------------------------------------------------------------------
+// ClearSubstrPairs nested-anchor marking (input sorted by QBegin asc,
+// QEnd desc, TBegin asc; ref: lib-index-search.go:890-935)
+
+void clear_substr_pairs_mark(const int32_t* qb, const int32_t* tb,
+                             const int32_t* ln, int64_t n, int32_t k,
+                             uint8_t* drop) {
+    std::memset(drop, 0, (size_t)n);
+    for (int64_t i = 1; i < n; ++i) {
+        int32_t vqe = qb[i] + ln[i];
+        int32_t upbound = vqe - k;
+        if (upbound < 0) upbound = 0;
+        int32_t vtb = tb[i];
+        int32_t vte = tb[i] + ln[i];
+        // binary search first j with qb[j] >= upbound
+        int64_t lo = 0, hi = i + 1;
+        while (lo < hi) {
+            int64_t mid = (lo + hi) >> 1;
+            if (qb[mid] < upbound) lo = mid + 1; else hi = mid;
+        }
+        for (int64_t j = lo; j < i; ++j) {
+            if (vqe <= qb[j] + ln[j] && vtb >= tb[j] && vte <= tb[j] + ln[j]) {
+                drop[i] = 1;
+                break;
+            }
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Chainer3 (2-mer chains for extendMatch; ref: lib-chaining3.go:111-299)
+// Returns 1 and sets (*qe, *te) on success, else 0.
+
+int32_t chain3_chain(const int32_t* qb, const int32_t* tb, const int32_t* ln,
+                     int64_t n, int32_t max_gap, int32_t min_score,
+                     int32_t min_align_len, int32_t max_distance,
+                     int32_t band_count, int32_t band_base,
+                     int32_t* out_qe, int32_t* out_te) {
+    if (n == 0) return 0;
+    std::vector<double> ms((size_t)n);
+    std::vector<int64_t> pv((size_t)n);
+    double M = 0.0;
+    int64_t Mi = 0;
+    {
+        double d = std::max(std::abs((double)qb[0]), std::abs((double)tb[0]));
+        double g = std::fabs(std::fabs((double)qb[0]) - std::fabs((double)tb[0]));
+        ms[0] = (double)ln[0] - d - g;
+        pv[0] = 0;
+        if (ms[0] > M) { M = ms[0]; Mi = 0; }
+    }
+    for (int64_t i = 1; i < n; ++i) {
+        int32_t aq = qb[i], at = tb[i], al = ln[i];
+        double d0 = std::max(std::abs((double)aq), std::abs((double)at));
+        double g0 = std::fabs(std::fabs((double)aq) - std::fabs((double)at));
+        double m = (double)al - d0 - g0;
+        int64_t mj = i;
+        int64_t bcount = 0;
+        for (int64_t j = i - 1; j >= 0; --j) {
+            int32_t bq2 = qb[j], bt2 = tb[j], bl2 = ln[j];
+            if (bq2 == aq || bt2 > at) continue;
+            ++bcount;
+            int64_t bbase = (int64_t)aq - bq2 - bl2;
+            if (!(bbase <= band_base || bcount <= band_count)) break;
+            int64_t qd = std::abs((int64_t)aq - bq2);
+            int64_t td = std::abs((int64_t)at - bt2);
+            int64_t dd = std::max(qd, td);
+            if (dd > max_distance) continue;
+            int64_t gg = std::abs(qd - td);
+            if (gg > max_gap) continue;
+            double sc = ms[j] + (double)bl2 - (double)dd - (double)gg;
+            if (sc >= m) { m = sc; mj = j; }
+        }
+        ms[i] = m;
+        pv[i] = mj;
+        if (m > M) { M = m; Mi = i; }
+    }
+    if (M < (double)min_score) return 0;
+
+    int64_t i = Mi;
+    int64_t qb_b = INT64_MAX, tb_b = INT64_MAX;
+    int64_t qe = -1, te = -1;
+    bool first = true;
+    int64_t n_matched = 0;
+    int64_t begin_next = 0;
+    while (true) {
+        int64_t j = pv[i];
+        if (j < 0) break;
+        if (first) {
+            first = false;
+            qe = (int64_t)qb[i] + ln[i] - 1;
+            te = (int64_t)tb[i] + ln[i] - 1;
+            qb_b = qb[i]; tb_b = tb[i];
+            n_matched += ln[i];
+        } else {
+            qb_b = qb[i]; tb_b = tb[i];
+            if ((int64_t)qb[i] + ln[i] - 1 >= begin_next) n_matched += begin_next - qb[i];
+            else n_matched += ln[i];
+        }
+        begin_next = qb[i];
+        if (i == j) {
+            if (first) break;
+            int64_t naq = qe - qb_b + 1;
+            if (naq < min_align_len) return 0;
+            int64_t nat = te - tb_b + 1;
+            double pident = (double)n_matched / (double)std::max(naq, nat) * 100.0;
+            if (pident < 15.0) return 0;
+            *out_qe = (int32_t)qe;
+            *out_te = (int32_t)te;
+            return 1;
+        }
+        i = j;
+    }
+    return 0;
+}
+
+}  // extern "C"

@@ -95,6 +95,15 @@ def chain(anchors: Anchors, opt: ChainingOptions) -> tuple[list[np.ndarray], np.
     max_gap = np.float32(opt.max_gap)
     max_dist = np.int32(opt.max_distance)
 
+    from ..native import chain1_forward_native
+
+    native = chain1_forward_native(
+        qb, tb, ln, float(opt.max_gap), float(min_score), int(opt.max_distance)
+    )
+    if native is not None:
+        max_scores, prev_idx, directions = native
+        return _chain_backtrack(max_scores, prev_idx, directions, min_score, opt)
+
     max_scores = np.empty(n, dtype=np.float32)
     prev_idx = np.empty(n, dtype=np.int64)
     directions = np.zeros(n, dtype=np.int8)
@@ -176,6 +185,11 @@ def chain(anchors: Anchors, opt: ChainingOptions) -> tuple[list[np.ndarray], np.
             prev_idx[i] = i
             directions[i] = 0
 
+    return _chain_backtrack(max_scores, prev_idx, directions, min_score, opt)
+
+
+def _chain_backtrack(max_scores, prev_idx, directions, min_score, opt: ChainingOptions):
+    n = max_scores.shape[0]
     # backtrack (lib-chaining.go:490-629)
     visited = np.zeros(n, dtype=bool)
     # sort by (score bits, index) ascending like the packed uint64 sort
@@ -237,18 +251,23 @@ def clear_substr_pairs(anchors: Anchors, k: int) -> Anchors:
     if n <= 1:
         return anchors.sort_for_chaining() if n else anchors
     a = anchors.sort_for_chaining()
-    qb = a.qbegin
-    qe = a.qbegin + a.length  # exclusive end ~ QBegin+Len
-    tb = a.tbegin
-    te = a.tbegin + a.length
-    drop = np.zeros(n, dtype=bool)
-    for i in range(1, n):
-        upbound = max(int(qe[i]) - k, 0)
-        start = int(np.searchsorted(qb[: i + 1], upbound, side="left"))
-        for j in range(start, i):
-            if qe[i] <= qe[j] and tb[i] >= tb[j] and te[i] <= te[j]:
-                drop[i] = True
-                break
+
+    from ..native import clear_mark_native
+
+    drop = clear_mark_native(a.qbegin, a.tbegin, a.length, k)
+    if drop is None:
+        qb = a.qbegin
+        qe = a.qbegin + a.length  # exclusive end ~ QBegin+Len
+        tb = a.tbegin
+        te = a.tbegin + a.length
+        drop = np.zeros(n, dtype=bool)
+        for i in range(1, n):
+            upbound = max(int(qe[i]) - k, 0)
+            start = int(np.searchsorted(qb[: i + 1], upbound, side="left"))
+            for j in range(start, i):
+                if qe[i] <= qe[j] and tb[i] >= tb[j] and te[i] <= te[j]:
+                    drop[i] = True
+                    break
     if drop.any():
         return a.take(~drop)
     return a

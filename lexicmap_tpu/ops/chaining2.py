@@ -84,6 +84,16 @@ def chain2(anchors: Anchors, opt: Chaining2Options):
     band_count = opt.band_count
     max_gap = float(opt.max_gap)
 
+    from ..native import chain2_forward_native
+
+    native = chain2_forward_native(qb, tb, ln, band_base, band_count, max_gap)
+    if native is not None:
+        max_scores, prev_idx = native
+        Mi = int(np.argmax(max_scores))
+        M = float(max_scores[Mi])
+        # match the scalar loop's strict-> tie behavior: first maximum wins
+        return _chain2_finish(anchors, max_scores, prev_idx, M, Mi, opt)
+
     max_scores = np.empty(n, dtype=np.float64)
     prev_idx = np.empty(n, dtype=np.int64)
     max_scores[0] = float(ln[0])
@@ -136,6 +146,11 @@ def chain2(anchors: Anchors, opt: Chaining2Options):
         if m > M:
             M, Mi = m, i
 
+    return _chain2_finish(anchors, max_scores, prev_idx, M, Mi, opt)
+
+
+def _chain2_finish(anchors, max_scores, prev_idx, M, Mi, opt: Chaining2Options):
+    n = len(anchors)
     if M < opt.min_score:
         return None, 0, 0, 0, 0, 0, 0, 0
 

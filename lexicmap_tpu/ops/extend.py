@@ -38,6 +38,16 @@ def _extend_right(s1: np.ndarray, s2: np.ndarray) -> tuple[int, int]:
     a = Anchors(q_idx, t_idx, np.full(total, 2, dtype=np.int32), z, z)
     # sort (QBegin asc, QEnd desc, TBegin asc) (ref: lib-index-search-util.go:172)
     a = a.sort_for_chaining()
+
+    from ..native import chain3_native
+
+    nres = chain3_native(a.qbegin, a.tbegin, a.length)
+    if nres is not None:
+        ok, qt = nres
+        if not ok:
+            return 0, 0
+        return qt[0] + 1, qt[1] + 1
+
     res = chain3(a)
     if res is None:
         return 0, 0

@@ -119,6 +119,24 @@ def wfa_align(
     x, o, e = mismatch, gap_open, gap_ext
     n = int(q.shape[0])
     m = int(t.shape[0])
+
+    # native fast path (identical semantics; see lexicmap_tpu/native)
+    if pref == "XDI" and not gap_pref_ext_first and max_score is None:
+        from ..native import wfa_align_native
+
+        ops_native = wfa_align_native(
+            q, t, x, o, e, adaptive=adaptive,
+            min_wf_len=min_wf_len, max_dist_diff=max_dist_diff,
+        )
+        if ops_native is not None:
+            cost = 0
+            for op, cnt in ops_native:
+                if op == "X":
+                    cost += cnt * x
+                elif op in ("I", "D"):
+                    cost += o + cnt * e
+            return _finalize(ops_native, cost, n, m)
+
     if n == 0 or m == 0:
         ops: list[tuple[str, int]] = []
         cost = 0
