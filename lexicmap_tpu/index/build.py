@@ -100,10 +100,17 @@ class _GenomeChunk:
 
     gid: bytes
     file_idx: int  # original input-file index (to group split chunks)
-    codes: np.ndarray  # seeding codes (degenerate->first base)
+    codes: np.ndarray  # storage codes (degenerate->first base)
     seq_sizes: list[int]
     seq_ids: list[bytes]
     gap_regions: list[tuple[int, int]] = field(default_factory=list)  # N-runs >=5
+    # with --soft-masking, lowercase bases are treated as A for seeding while
+    # the real base is stored (ref: index.go --soft-masking documentation)
+    seed_codes: np.ndarray | None = None
+
+    @property
+    def seeding_codes(self) -> np.ndarray:
+        return self.seed_codes if self.seed_codes is not None else self.codes
 
 
 def _parse_genome_file(
@@ -127,6 +134,13 @@ def _parse_genome_file(
         nonlocal parts, seq_sizes, seq_ids, cur_len
         if cur_len > 0:
             seq = (b"A" * interval).join(parts)
+            seed_codes = None
+            if opt.soft_masking:
+                arr = np.frombuffer(seq, dtype=np.uint8)
+                lower = (arr >= ord("a")) & (arr <= ord("z"))
+                sc = seq_to_codes(seq).copy()
+                sc[lower] = 0  # treated as A, not seeded distinctly
+                seed_codes = sc
             chunks.append(
                 _GenomeChunk(
                     gid=gid,
@@ -135,6 +149,7 @@ def _parse_genome_file(
                     seq_sizes=seq_sizes,
                     seq_ids=seq_ids,
                     gap_regions=find_gap_regions(seq),
+                    seed_codes=seed_codes,
                 )
             )
         parts, seq_sizes, seq_ids, cur_len = [], [], [], 0
@@ -202,9 +217,10 @@ def seed_genome(
     """
     k = mask_set.k
     regions, interval_excluded = _skip_regions_for(g, k, opt.contig_interval)
-    fwd, rc = kmers_fwd_rc(g.codes, k)
+    scodes = g.seeding_codes
+    fwd, rc = kmers_fwd_rc(scodes, k)
     res = capture(
-        mask_set, g.codes, skip_regions=regions, check_shorter_prefix=True, precomputed=(fwd, rc)
+        mask_set, scodes, skip_regions=regions, check_shorter_prefix=True, precomputed=(fwd, rc)
     )
 
     # remove low-complexity captured k-mers (ref: lib-index-build.go:1031-1044)
@@ -233,7 +249,7 @@ def seed_genome(
     if not opt.disable_desert_filling:
         extras = fill_deserts(mask_set, fwd, rc, locs, interval_excluded, opt)
 
-    return res, extras, locs
+    return res, extras, locs, regions
 
 
 def _dust_scalar(x: int, k: int) -> bool:
@@ -520,6 +536,94 @@ def _filter_kmer_freq(masks: np.ndarray, kmers: np.ndarray, max_freq: int) -> np
     return keep
 
 
+def _seed_positions_with_flags(
+    locs: np.ndarray, extras: list[tuple[int, int, int]], regions: list[tuple[int, int]]
+) -> np.ndarray:
+    """Sorted seed locations with the interval flag in the low bit
+    (ref: lib-index-build.go:1407-1467): the first position at or after each
+    skip-region end is flagged, so seed pairs crossing contig junctions can
+    be skipped by `utils seed-pos` consumers."""
+    all_locs = locs
+    if extras:
+        e = np.array([x[2] for x in extras], dtype=np.uint32)
+        all_locs = np.sort(np.concatenate([locs, e]))
+    out = all_locs.astype(np.uint64) << np.uint64(1)
+    if regions:
+        pos = (all_locs >> np.uint32(1)).astype(np.int64)
+        for _s, e in regions:
+            i = int(np.searchsorted(pos, e, side="left"))
+            if i < out.shape[0]:
+                out[i] |= np.uint64(1)
+    return out.astype(np.uint32)
+
+
+def _build_one_batch(
+    mask_set: MaskSet,
+    batch: int,
+    files: list[str],
+    base_outdir: str,
+    seeds_outdir: str,
+    n_chunks: int,
+    opt: BuildOptions,
+    skipped: list[tuple[str, str]],
+):
+    """Build one batch: genome store under base_outdir, seed chunks under
+    seeds_outdir, plus the batch's genome map and chunk lists."""
+    m = mask_set.m
+    chunk_size = (m + n_chunks - 1) // n_chunks
+    acc = _PostingsAccumulator()
+    gw = GenomeStoreWriter(os.path.join(base_outdir, DIR_GENOMES, batch_dir(batch)), batch)
+    genome_map_entries: list[tuple[bytes, int]] = []
+    file_chunk_lists: dict[int, list[int]] = {}
+    total_bases = 0
+    n_genomes = 0
+    genome_rank = 0
+    seed_pos: list[np.ndarray] = []
+    for fi, path in enumerate(files):
+        file_idx = batch * opt.batch_size + fi
+        chunks = _parse_genome_file(path, file_idx, opt, skipped)
+        for g in chunks:
+            res, extras, locs, regions = seed_genome(mask_set, g, opt)
+            gidx = gw.write(g.gid, g.codes, g.seq_sizes, g.seq_ids)
+            _emit_postings(
+                mask_set, res, extras, batch, gidx, genome_rank, acc, opt.max_kmer_freq
+            )
+            if opt.save_seed_pos:
+                seed_pos.append(_seed_positions_with_flags(locs, extras, regions))
+            code = batch << BITS_GENOME_IDX | gidx
+            genome_map_entries.append((g.gid, code))
+            file_chunk_lists.setdefault(file_idx, []).append(code)
+            total_bases += sum(g.seq_sizes)
+            n_genomes += 1
+            genome_rank += 1
+            if opt.verbose:
+                print(f"  [batch {batch}] indexed {g.gid.decode()} ({sum(g.seq_sizes)} bp)")
+    gw.close()
+    if opt.save_seed_pos:
+        gdir = os.path.join(base_outdir, DIR_GENOMES, batch_dir(batch))
+        flat = np.concatenate(seed_pos) if seed_pos else np.empty(0, dtype=np.uint32)
+        off = np.zeros(len(seed_pos) + 1, dtype=np.int64)
+        np.cumsum([p.shape[0] for p in seed_pos], out=off[1:])
+        np.save(os.path.join(gdir, "seed_positions.npy"), flat)
+        np.save(os.path.join(gdir, "seed_positions_offsets.npy"), off)
+
+    # write this batch's seed chunks
+    mask_ids, kmers, values, orders = acc.arrays()
+    for c in range(n_chunks):
+        begin = c * chunk_size
+        end = min(begin + chunk_size, m)
+        in_chunk = (mask_ids >= begin) & (mask_ids < end)
+        w = SeedChunkWriter(os.path.join(seeds_outdir, DIR_SEEDS, chunk_dir(c)), begin, end)
+        w.write(mask_ids[in_chunk], kmers[in_chunk], values[in_chunk], orders[in_chunk])
+
+    write_genome_map(os.path.join(seeds_outdir, FILE_GENOME_MAP), genome_map_entries)
+    write_genome_chunks(
+        os.path.join(seeds_outdir, FILE_GENOME_CHUNKS),
+        [v for v in file_chunk_lists.values() if len(v) > 1],
+    )
+    return total_bases, n_genomes, len(file_chunk_lists)
+
+
 def build_index(outdir: str, infiles: list[str], opt: BuildOptions) -> IndexInfo:
     if os.path.exists(outdir):
         if opt.force:
@@ -539,77 +643,29 @@ def build_index(outdir: str, infiles: list[str], opt: BuildOptions) -> IndexInfo
 
     n_chunks = opt.chunks if opt.chunks > 0 else min(os.cpu_count() or 1, 128)
     n_chunks = min(n_chunks, m)
-    chunk_size = (m + n_chunks - 1) // n_chunks
-
-    os.makedirs(os.path.join(outdir, DIR_SEEDS), exist_ok=True)
 
     skipped: list[tuple[str, str]] = []
-    genome_map_entries: list[tuple[bytes, int]] = []
-    file_chunk_lists: dict[int, list[int]] = {}
+    n_batches = (len(infiles) + opt.batch_size - 1) // opt.batch_size
+    tmp_dir = outdir.rstrip("/") + ".tmp"
+    if n_batches > 1:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        os.makedirs(tmp_dir, exist_ok=True)
+
     total_bases = 0
     n_genomes = 0
-
-    n_batches = (len(infiles) + opt.batch_size - 1) // opt.batch_size
-    batch_postings: list[_PostingsAccumulator] = []
-
+    n_input = 0
     for batch in range(n_batches):
         files = infiles[batch * opt.batch_size : (batch + 1) * opt.batch_size]
-        acc = _PostingsAccumulator()
-        gw = GenomeStoreWriter(os.path.join(outdir, DIR_GENOMES, batch_dir(batch)), batch)
-        genome_rank = 0
-        for fi, path in enumerate(files):
-            file_idx = batch * opt.batch_size + fi
-            chunks = _parse_genome_file(path, file_idx, opt, skipped)
-            for g in chunks:
-                res, extras, locs = seed_genome(mask_set, g, opt)
-                gidx = gw.write(g.gid, g.codes, g.seq_sizes, g.seq_ids)
-                _emit_postings(
-                    mask_set, res, extras, batch, gidx, genome_rank, acc, opt.max_kmer_freq
-                )
-                code = batch << BITS_GENOME_IDX | gidx
-                genome_map_entries.append((g.gid, code))
-                file_chunk_lists.setdefault(file_idx, []).append(code)
-                total_bases += sum(g.seq_sizes)
-                n_genomes += 1
-                genome_rank += 1
-                if opt.verbose:
-                    print(f"  [batch {batch}] indexed {g.gid.decode()} ({sum(g.seq_sizes)} bp)")
-        gw.close()
-        batch_postings.append(acc)
-
-    # write seed chunks (merged over batches: batch ranks are encoded in the
-    # posting order keys via genome_rank? no - merge by concatenating per-batch
-    # arrays in batch order, the lexsort in SeedChunkWriter keeps order stable)
-    for c in range(n_chunks):
-        begin = c * chunk_size
-        end = min(begin + chunk_size, m)
-        mask_ids_l, kmers_l, values_l, orders_l = [], [], [], []
-        for b, acc in enumerate(batch_postings):
-            mask_ids, kmers, values, orders = acc.arrays()
-            in_chunk = (mask_ids >= begin) & (mask_ids < end)
-            mask_ids_l.append(mask_ids[in_chunk])
-            kmers_l.append(kmers[in_chunk])
-            values_l.append(values[in_chunk])
-            # make batch the top-level order key
-            orders_l.append(orders[in_chunk] + (np.int64(b) << np.int64(52)))
-        w = SeedChunkWriter(os.path.join(outdir, DIR_SEEDS, chunk_dir(c)), begin, end)
-        w.write(
-            np.concatenate(mask_ids_l),
-            np.concatenate(kmers_l),
-            np.concatenate(values_l),
-            np.concatenate(orders_l),
+        seeds_outdir = (
+            outdir if n_batches == 1 else os.path.join(tmp_dir, batch_dir(batch))
         )
-
-    write_genome_map(os.path.join(outdir, FILE_GENOME_MAP), genome_map_entries)
-    write_genome_chunks(
-        os.path.join(outdir, FILE_GENOME_CHUNKS),
-        [v for v in file_chunk_lists.values() if len(v) > 1],
-    )
-
-    if opt.big_genome_file and skipped:
-        with open(opt.big_genome_file, "w") as fh:
-            for path, reason in skipped:
-                fh.write(f"{path}\t{reason}\n")
+        os.makedirs(seeds_outdir, exist_ok=True)
+        tb, ng, ni = _build_one_batch(
+            mask_set, batch, files, outdir, seeds_outdir, n_chunks, opt, skipped
+        )
+        total_bases += tb
+        n_genomes += ng
+        n_input += ni
 
     info = IndexInfo(
         k=opt.k,
@@ -619,7 +675,7 @@ def build_index(outdir: str, infiles: list[str], opt: BuildOptions) -> IndexInfo
         seed_dist_in_desert=opt.seed_in_desert_dist,
         chunks=n_chunks,
         partitions=opt.partitions,
-        input_genomes=len(file_chunk_lists),
+        input_genomes=n_input,
         input_bases=total_bases,
         genomes=n_genomes,
         genome_batch_size=opt.batch_size,
@@ -629,4 +685,20 @@ def build_index(outdir: str, infiles: list[str], opt: BuildOptions) -> IndexInfo
         max_kmer_freq=opt.max_kmer_freq,
     )
     info.save(os.path.join(outdir, FILE_INFO))
+
+    if n_batches > 1:
+        import json
+
+        with open(os.path.join(tmp_dir, "merge_meta.json"), "w") as fh:
+            json.dump({"chunks": n_chunks, "info_updates": {}}, fh)
+        from .merge import merge_batches
+
+        merge_batches(tmp_dir, outdir, n_chunks)
+        shutil.rmtree(tmp_dir)
+
+    if opt.big_genome_file and skipped:
+        with open(opt.big_genome_file, "w") as fh:
+            for path, reason in skipped:
+                fh.write(f"{path}\t{reason}\n")
+
     return info

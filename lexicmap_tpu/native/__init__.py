@@ -105,21 +105,16 @@ def wfa_align_native(q: np.ndarray, t: np.ndarray, x=4, o=6, e=2,
     )
     if w < 0:
         return None
-    ops: list[tuple[str, int]] = []
-    buf = out[:w].tobytes().decode("latin1")
-    if not buf:
+    if w == 0:
         return []
-    prev = buf[0]
-    cnt = 1
-    for ch in buf[1:]:
-        if ch == prev:
-            cnt += 1
-        else:
-            ops.append((prev, cnt))
-            prev = ch
-            cnt = 1
-    ops.append((prev, cnt))
-    return ops
+    buf = out[:w]
+    # vectorized run-length encoding
+    bounds = np.nonzero(buf[1:] != buf[:-1])[0] + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [w]))
+    return [
+        (chr(buf[s]), int(e - s)) for s, e in zip(starts, ends)
+    ]
 
 
 def chain2_forward_native(qb, tb, ln, band_base, band_count, max_gap):
