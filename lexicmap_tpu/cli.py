@@ -242,6 +242,10 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("-e", "--max-evalue", type=float, default=SearchDefaults.MAX_EVALUE)
     ps.set_defaults(func=cmd_search)
 
+    from .cli_utils import register_utils
+
+    register_utils(sub)
+
     return p
 
 
