@@ -113,6 +113,10 @@ def cmd_search(args) -> int:
     from .index.search import IndexSearcher, SearchOptions
     from .utils.fasta import read_fastx
 
+    from .utils.taxonomy import parse_taxid_args
+
+    taxids, negative_taxids = parse_taxid_args(args.taxids or [], args.taxid_file or None)
+
     opt = SearchOptions(
         min_prefix=args.seed_min_prefix,
         min_single_prefix=args.seed_min_single_prefix,
@@ -130,6 +134,11 @@ def cmd_search(args) -> int:
         max_evalue=args.max_evalue,
         in_memory=args.load_whole_seeds,
         output_seq=args.all,
+        taxdump_dir=args.taxdump or None,
+        genome2taxid_file=args.genome2taxid or None,
+        taxids=taxids,
+        negative_taxids=negative_taxids,
+        keep_genomes_without_taxid=args.keep_genomes_without_taxid,
     )
     t0 = time.time()
     idx = IndexSearcher(args.index, opt)
@@ -240,6 +249,14 @@ def build_parser() -> argparse.ArgumentParser:
         "-Q", "--min-qcov-per-genome", type=float, default=SearchDefaults.MIN_QCOV_PER_GENOME
     )
     ps.add_argument("-e", "--max-evalue", type=float, default=SearchDefaults.MAX_EVALUE)
+    ps.add_argument("-T", "--taxdump", default="")
+    ps.add_argument("-G", "--genome2taxid", default="")
+    ps.add_argument("-t", "--taxids", action="append", default=[])
+    ps.add_argument("--taxid-file", default="")
+    ps.add_argument(
+        "-K", "--keep-genomes-without-taxid", action="store_true",
+        help="keep genomes lacking a taxid in the genome2taxid file",
+    )
     ps.set_defaults(func=cmd_search)
 
     from .cli_utils import register_utils

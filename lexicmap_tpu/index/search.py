@@ -87,6 +87,13 @@ class SearchOptions:
     in_memory: bool = False
     output_seq: bool = False  # -a/--all
 
+    # TaxId filtering (ref: lib-index-search.go:93-98, search.go:232-239)
+    taxdump_dir: str | None = None
+    genome2taxid_file: str | None = None
+    taxids: list[int] = field(default_factory=list)
+    negative_taxids: list[int] = field(default_factory=list)
+    keep_genomes_without_taxid: bool = False
+
     def chaining_options(self) -> ChainingOptions:
         return ChainingOptions(
             max_gap=self.max_gap,
@@ -205,6 +212,49 @@ class IndexSearcher:
 
         self._ccc, self._ggg, self._ttt = homopolymer_codes(self.k)[1:]
 
+        # TaxId filtering (ref: lib-index-search.go:316-416)
+        self.filter_by_taxid = bool(self.opt.taxids or self.opt.negative_taxids)
+        self.taxonomy = None
+        self.code2taxid: dict[int, int] = {}
+        self._taxid_verdict: dict[int, bool] = {}
+        if self.filter_by_taxid:
+            from ..utils.taxonomy import Taxonomy, read_genome2taxid
+
+            if not (self.opt.taxdump_dir and self.opt.genome2taxid_file):
+                raise ValueError(
+                    "taxdump dir and genome2taxid file are required for TaxId filtering"
+                )
+            self.taxonomy = Taxonomy.from_taxdump(self.opt.taxdump_dir)
+            g2t = read_genome2taxid(self.opt.genome2taxid_file)
+            for code, gid in self.id_of_code.items():
+                t = g2t.get(gid.decode())
+                if t is not None:
+                    self.code2taxid[code] = t
+
+    def _genome_allowed(self, code: int) -> bool:
+        """Per-genome TaxId verdict with memoization
+        (ref: lib-index-search.go:1399-1448)."""
+        v = self._taxid_verdict.get(code)
+        if v is not None:
+            return v
+        taxid = self.code2taxid.get(code)
+        keep = True
+        if taxid is None:
+            keep = self.opt.keep_genomes_without_taxid
+        else:
+            if self.opt.negative_taxids and any(
+                self.taxonomy.is_descendant_or_self(taxid, t)
+                for t in self.opt.negative_taxids
+            ):
+                keep = False
+            elif self.opt.taxids:
+                keep = any(
+                    self.taxonomy.is_descendant_or_self(taxid, t)
+                    for t in self.opt.taxids
+                )
+        self._taxid_verdict[code] = keep
+        return keep
+
     # ------------------------------------------------------------------
     # phase 1+2: masking + seed matching
 
@@ -274,8 +324,11 @@ class IndexSearcher:
         lcp = kmer_lcp(np.asarray(entry_kmers[idx]), qkmers[qrow], k)
         return idx, qrow, lcp
 
-    def _collect_anchors(self, qcodes: np.ndarray):
-        """Phases 1+2; returns dict refBatchAndIdx -> Anchors."""
+    def _collect_anchors(self, qcodes: np.ndarray, genome_codes: set[int] | None = None):
+        """Phases 1+2; returns dict refBatchAndIdx -> Anchors.
+
+        genome_codes: optional white list of batch<<17|idx codes
+        (the reference's genomeIds param, used by genome screening)."""
         k = self.k
         kmers, capres = self._mask_query(qcodes)
         rnew, rkmers, rorig = self._reversed_query_kmers(kmers)
@@ -357,6 +410,26 @@ class IndexSearcher:
 
         # decode posting values
         ref_idx = (vals >> np.uint64(BITS_NONE_IDX)).astype(np.int64)
+
+        # genome filters: TaxId white/black lists and explicit genome sets
+        if self.filter_by_taxid or genome_codes is not None:
+            uniq = np.unique(ref_idx)
+            allowed = set()
+            for code in uniq:
+                code = int(code)
+                if genome_codes is not None and code not in genome_codes:
+                    continue
+                if self.filter_by_taxid and not self._genome_allowed(code):
+                    continue
+                allowed.add(code)
+            keep = np.isin(ref_idx, np.array(sorted(allowed), dtype=np.int64))
+            if not keep.any():
+                return {}
+            vals = vals[keep]
+            lcps = lcps[keep]
+            qlocs = qlocs[keep]
+            ref_idx = ref_idx[keep]
+
         pos_t = ((vals << np.uint64(BITS_IDX)) >> np.uint64(BITS_IDX_FLAGS)).astype(np.int64)
         rv_t = (vals & np.uint64(1)).astype(bool)
         rc_t = ((vals >> np.uint64(1)) & np.uint64(1)).astype(bool)
@@ -658,11 +731,13 @@ class IndexSearcher:
 
     # ------------------------------------------------------------------
 
-    def search(self, qcodes: np.ndarray) -> list[GenomeHit]:
+    def search(
+        self, qcodes: np.ndarray, genome_codes: set[int] | None = None
+    ) -> list[GenomeHit]:
         """Full pipeline for one query (already encoded to 2-bit codes)."""
         if qcodes.shape[0] < self.k:
             return []
-        per_genome = self._collect_anchors(qcodes)
+        per_genome = self._collect_anchors(qcodes, genome_codes)
         if not per_genome:
             return []
         hits = self._chain_genomes(per_genome)
