@@ -259,9 +259,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ps.set_defaults(func=cmd_search)
 
+    from .cli_genome import register_genome
     from .cli_utils import register_utils
 
     register_utils(sub)
+    register_genome(sub)
 
     return p
 
