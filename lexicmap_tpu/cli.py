@@ -77,13 +77,32 @@ def cmd_index(args) -> int:
 # --------------------------------------------------------------------------
 # search
 
+# worker-pool state, inherited across fork()
+_POOL_IDX = None
+_POOL_ALL = False
+_POOL_SSEQ_IDX = False
+
+
+def _pool_search_one(item):
+    qid, seq = item
+    idx = _POOL_IDX
+    if len(seq) < idx.k:
+        return qid, 0, []
+    results = idx.search_bytes(seq)
+    return (
+        qid,
+        len(seq),
+        list(format_hit_rows(qid, len(seq), results, _POOL_ALL, _POOL_SSEQ_IDX)),
+    )
+
+
 TSV_HEADER = (
     "query\tqlen\thits\tsgenome\tsseqid\tqcovGnm\tcls\thsp\tqcovHSP\t"
     "alenHSP\tpident\tgaps\tqstart\tqend\tsstart\tsend\tsstr\tslen\tevalue\tbitscore"
 )
 
 
-def format_hit_rows(query_id: str, qlen: int, results, all_columns=False):
+def format_hit_rows(query_id: str, qlen: int, results, all_columns=False, show_sseq_idx=False):
     """Yield TSV rows for one query (ref: printResult, search.go:438-535)."""
     targets = len(results)
     for r in results:
@@ -92,9 +111,15 @@ def format_hit_rows(query_id: str, qlen: int, results, all_columns=False):
         for sd in r.details:
             for c in sd.chains:
                 strand = "-" if sd.rc else "+"
+                sseqid = sd.seq_id.decode()
+                if show_sseq_idx:
+                    sseqid = (
+                        f"c{sd.chunk_idx + 1}/{sd.n_chunks}:"
+                        f"s{sd.seq_idx + 1}/{sd.n_seqs}:{sseqid}"
+                    )
                 row = (
                     f"{query_id}\t{qlen}\t{targets}\t{r.genome_id.decode()}\t"
-                    f"{sd.seq_id.decode()}\t{r.aligned_fraction:.3f}\t{c_idx}\t{j}\t"
+                    f"{sseqid}\t{r.aligned_fraction:.3f}\t{c_idx}\t{j}\t"
                     f"{c.aligned_fraction:.3f}\t{c.aligned_length}\t{c.pident:.3f}\t"
                     f"{c.gaps}\t{c.qbegin + 1}\t{c.qend + 1}\t{c.tbegin + 1}\t"
                     f"{c.tend + 1}\t{strand}\t{sd.seq_len}\t{c.evalue:.2e}\t{c.bit_score}"
@@ -110,8 +135,14 @@ def format_hit_rows(query_id: str, qlen: int, results, all_columns=False):
 
 
 def cmd_search(args) -> int:
+    import os
+
     from .index.search import IndexSearcher, SearchOptions
     from .utils.fasta import read_fastx
+
+    if not os.path.exists(os.path.join(args.index, "info.json")):
+        print(f"error: index not found: {args.index}", file=sys.stderr)
+        return 1
 
     from .utils.taxonomy import parse_taxid_args
 
@@ -149,12 +180,39 @@ def cmd_search(args) -> int:
     header = TSV_HEADER + ("\tcigar\tqseq\tsseq\talign" if args.all else "")
     out.write(header.encode() + b"\n")
 
+    def iter_queries():
+        for path in args.files or ["-"]:
+            fh = sys.stdin.buffer if path == "-" else path
+            yield from read_fastx(fh)
+
     n = 0
     matched = 0
     t1 = time.time()
-    for path in args.files or ["-"]:
-        fh = sys.stdin.buffer if path == "-" else path
-        for rec in read_fastx(fh):
+    workers = max(1, args.max_query_conc)
+    if workers > 1:
+        # fork-based query worker pool (the reference's -J concurrency,
+        # ref: search.go:537-604); the index's mmap state is inherited
+        import multiprocessing as mp
+
+        global _POOL_IDX, _POOL_ALL, _POOL_SSEQ_IDX
+        _POOL_IDX = idx
+        _POOL_ALL = args.all
+        _POOL_SSEQ_IDX = args.show_sseq_idx
+
+        ctx = mp.get_context("fork")
+        with ctx.Pool(workers) as pool:
+            for qid, qlen, rows in pool.imap(
+                _pool_search_one,
+                ((r.id.decode(), r.seq) for r in iter_queries()),
+                chunksize=1,
+            ):
+                n += 1
+                if rows:
+                    matched += 1
+                    for row in rows:
+                        out.write(row.encode() + b"\n")
+    else:
+        for rec in iter_queries():
             n += 1
             if len(rec.seq) < idx.k:
                 continue
@@ -162,7 +220,7 @@ def cmd_search(args) -> int:
             if results:
                 matched += 1
                 for row in format_hit_rows(
-                    rec.id.decode(), len(rec.seq), results, args.all
+                    rec.id.decode(), len(rec.seq), results, args.all, args.show_sseq_idx
                 ):
                     out.write(row.encode() + b"\n")
     if own:
@@ -221,6 +279,9 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("-d", "--index", required=True)
     ps.add_argument("-o", "--out-file", default="-")
     ps.add_argument("-a", "--all", action="store_true")
+    ps.add_argument("--show-sseq-idx", action="store_true")
+    ps.add_argument("-J", "--max-query-conc", type=int, default=1)
+    ps.add_argument("--quiet", action="store_true")
     ps.add_argument("-p", "--seed-min-prefix", type=int, default=SearchDefaults.MIN_PREFIX)
     ps.add_argument(
         "-P", "--seed-min-single-prefix", type=int, default=SearchDefaults.MIN_SINGLE_PREFIX
