@@ -81,6 +81,7 @@ class BuildOptions:
     big_genome_file: str | None = None
     force: bool = False
     verbose: bool = False
+    threads: int = 0  # 0 -> all CPUs
 
     @property
     def desert_seed_pos_range(self) -> int:
@@ -219,9 +220,26 @@ def seed_genome(
     regions, interval_excluded = _skip_regions_for(g, k, opt.contig_interval)
     scodes = g.seeding_codes
     fwd, rc = kmers_fwd_rc(scodes, k)
-    res = capture(
-        mask_set, scodes, skip_regions=regions, check_shorter_prefix=True, precomputed=(fwd, rc)
+
+    from ..native import capture_native_call
+    from ..ops.masking import CaptureResult
+
+    exclude = None
+    if regions:
+        exclude = skip_mask_from_regions(scodes.shape[0], k, regions)
+    native = capture_native_call(
+        fwd, rc, exclude, mask_set.masks, k, mask_set.prefix_len, True
     )
+    if native is not None:
+        kmers_out, counts, pos_flat = native
+        offsets = np.zeros(mask_set.m + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        res = CaptureResult(kmers=kmers_out, pos_flat=pos_flat, pos_offsets=offsets)
+    else:
+        res = capture(
+            mask_set, scodes, skip_regions=regions, check_shorter_prefix=True,
+            precomputed=(fwd, rc),
+        )
 
     # remove low-complexity captured k-mers (ref: lib-index-build.go:1031-1044)
     ccc, ggg, ttt = homopolymer_codes(k)[1:]
@@ -247,7 +265,15 @@ def seed_genome(
 
     extras: list[tuple[int, int, int]] = []
     if not opt.disable_desert_filling:
-        extras = fill_deserts(mask_set, fwd, rc, locs, interval_excluded, opt)
+        from ..native import fill_deserts_native_call
+
+        extras = fill_deserts_native_call(
+            fwd, rc, locs, interval_excluded, mask_set.masks, k,
+            mask_set.prefix_len, opt.seed_max_desert, opt.seed_in_desert_dist,
+            opt.desert_seed_pos_range,
+        )
+        if extras is None:
+            extras = fill_deserts(mask_set, fwd, rc, locs, interval_excluded, opt)
 
     return res, extras, locs, regions
 
@@ -557,6 +583,45 @@ def _seed_positions_with_flags(
     return out.astype(np.uint32)
 
 
+# worker-pool state inherited across fork() for parallel genome seeding
+_SEED_CTX = None
+
+
+def _seed_worker(args):
+    path, file_idx = args
+    mask_set, opt = _SEED_CTX
+    skipped: list[tuple[str, str]] = []
+    out = []
+    for g in _parse_genome_file(path, file_idx, opt, skipped):
+        res, extras, locs, regions = seed_genome(mask_set, g, opt)
+        out.append((g, res, extras, locs, regions))
+    return out, skipped
+
+
+def _iter_seeded_genomes(mask_set, batch, files, opt, skipped):
+    """Yield (genome_chunk, capture, extras, locs, regions) per genome,
+    parsing+seeding in a fork worker pool when multiple CPUs are available
+    (the analog of the reference's stage-1 goroutines,
+    ref: lib-index-build.go:929-1491)."""
+    n_workers = min(os.cpu_count() or 1, opt.threads if opt.threads > 0 else 64)
+    items = [(path, batch * opt.batch_size + fi) for fi, path in enumerate(files)]
+    if n_workers <= 1 or len(files) <= 1:
+        for path, file_idx in items:
+            for g in _parse_genome_file(path, file_idx, opt, skipped):
+                yield (g, *seed_genome(mask_set, g, opt))
+        return
+
+    import multiprocessing as mp
+
+    global _SEED_CTX
+    _SEED_CTX = (mask_set, opt)
+    ctx = mp.get_context("fork")
+    with ctx.Pool(n_workers) as pool:
+        for out, wskipped in pool.imap(_seed_worker, items):
+            skipped.extend(wskipped)
+            yield from out
+
+
 def _build_one_batch(
     mask_set: MaskSet,
     batch: int,
@@ -579,25 +644,23 @@ def _build_one_batch(
     n_genomes = 0
     genome_rank = 0
     seed_pos: list[np.ndarray] = []
-    for fi, path in enumerate(files):
-        file_idx = batch * opt.batch_size + fi
-        chunks = _parse_genome_file(path, file_idx, opt, skipped)
-        for g in chunks:
-            res, extras, locs, regions = seed_genome(mask_set, g, opt)
-            gidx = gw.write(g.gid, g.codes, g.seq_sizes, g.seq_ids)
-            _emit_postings(
-                mask_set, res, extras, batch, gidx, genome_rank, acc, opt.max_kmer_freq
-            )
-            if opt.save_seed_pos:
-                seed_pos.append(_seed_positions_with_flags(locs, extras, regions))
-            code = batch << BITS_GENOME_IDX | gidx
-            genome_map_entries.append((g.gid, code))
-            file_chunk_lists.setdefault(file_idx, []).append(code)
-            total_bases += sum(g.seq_sizes)
-            n_genomes += 1
-            genome_rank += 1
-            if opt.verbose:
-                print(f"  [batch {batch}] indexed {g.gid.decode()} ({sum(g.seq_sizes)} bp)")
+    for g, res, extras, locs, regions in _iter_seeded_genomes(
+        mask_set, batch, files, opt, skipped
+    ):
+        gidx = gw.write(g.gid, g.codes, g.seq_sizes, g.seq_ids)
+        _emit_postings(
+            mask_set, res, extras, batch, gidx, genome_rank, acc, opt.max_kmer_freq
+        )
+        if opt.save_seed_pos:
+            seed_pos.append(_seed_positions_with_flags(locs, extras, regions))
+        code = batch << BITS_GENOME_IDX | gidx
+        genome_map_entries.append((g.gid, code))
+        file_chunk_lists.setdefault(g.file_idx, []).append(code)
+        total_bases += sum(g.seq_sizes)
+        n_genomes += 1
+        genome_rank += 1
+        if opt.verbose:
+            print(f"  [batch {batch}] indexed {g.gid.decode()} ({sum(g.seq_sizes)} bp)")
     gw.close()
     if opt.save_seed_pos:
         gdir = os.path.join(base_outdir, DIR_GENOMES, batch_dir(batch))

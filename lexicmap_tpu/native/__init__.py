@@ -85,6 +85,21 @@ def get_lib():
         ctypes.c_int32, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
     ]
+    u64p = np.ctypeslib.ndpointer(dtype=np.uint64, flags="C_CONTIGUOUS")
+    u32p = np.ctypeslib.ndpointer(dtype=np.uint32, flags="C_CONTIGUOUS")
+    lib.capture_native.restype = ctypes.c_int64
+    lib.capture_native.argtypes = [
+        u64p, u64p, ctypes.c_int64, ctypes.c_void_p, u64p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        u64p, i64p, u32p, ctypes.c_int64,
+    ]
+    lib.fill_deserts_native.restype = ctypes.c_int64
+    lib.fill_deserts_native.argtypes = [
+        u64p, u64p, ctypes.c_int64, u32p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64, u64p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, i64p, u64p, i64p, ctypes.c_int64,
+    ]
     _lib = lib
     return _lib
 
@@ -163,6 +178,74 @@ def clear_mark_native(qb, tb, ln, k):
         n, int(k), drop,
     )
     return drop.astype(bool)
+
+
+def capture_native_call(fwd, rc, exclude, masks, k, prefix_len, check_shorter):
+    """Returns (kmers[m], counts[m], pos_flat) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = int(fwd.shape[0])
+    m = int(masks.shape[0])
+    out_kmers = np.zeros(m, dtype=np.uint64)
+    out_counts = np.zeros(m, dtype=np.int64)
+    cap = max(8 * m, 1024)
+    excl_ptr = None
+    if exclude is not None:
+        exclude = np.ascontiguousarray(exclude, dtype=np.uint8)
+        excl_ptr = exclude.ctypes.data
+    fwd = np.ascontiguousarray(fwd, dtype=np.uint64)
+    rc = np.ascontiguousarray(rc, dtype=np.uint64)
+    masks = np.ascontiguousarray(masks, dtype=np.uint64)
+    while True:
+        out_pos = np.empty(cap, dtype=np.uint32)
+        w = lib.capture_native(
+            fwd, rc, n, excl_ptr, masks, m,
+            k, prefix_len, 1 if check_shorter else 0,
+            out_kmers, out_counts, out_pos, cap,
+        )
+        if w == -1:
+            cap *= 4
+            continue
+        if w == -2:
+            return out_kmers, out_counts, np.empty(0, dtype=np.uint32)
+        return out_kmers, out_counts, out_pos[:w]
+
+
+def fill_deserts_native_call(
+    fwd, rc, locs, interval_excluded, masks, k, prefix_len,
+    max_desert, seed_dist, seed_pos_r,
+):
+    """Returns list of (mask_idx, kmer, loc) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    nk = int(fwd.shape[0])
+    nlocs = int(locs.shape[0])
+    excl_ptr = None
+    n_excl = 0
+    if interval_excluded is not None:
+        interval_excluded = np.ascontiguousarray(interval_excluded, dtype=np.uint8)
+        excl_ptr = interval_excluded.ctypes.data
+        n_excl = int(interval_excluded.shape[0])
+    fwd = np.ascontiguousarray(fwd, dtype=np.uint64)
+    rc = np.ascontiguousarray(rc, dtype=np.uint64)
+    locs = np.ascontiguousarray(locs, dtype=np.uint32)
+    masks = np.ascontiguousarray(masks, dtype=np.uint64)
+    cap = max(4 * (nk // max(seed_dist, 1) + 16), 4096)
+    while True:
+        om = np.empty(cap, dtype=np.int64)
+        ok = np.empty(cap, dtype=np.uint64)
+        ol = np.empty(cap, dtype=np.int64)
+        w = lib.fill_deserts_native(
+            fwd, rc, nk, locs, nlocs, excl_ptr, n_excl,
+            masks, int(masks.shape[0]), k, prefix_len,
+            max_desert, seed_dist, seed_pos_r, om, ok, ol, cap,
+        )
+        if w == -1:
+            cap *= 4
+            continue
+        return [(int(om[i]), int(ok[i]), int(ol[i])) for i in range(w)]
 
 
 def chain3_native(qb, tb, ln, max_gap=5, min_score=1, min_align_len=2,

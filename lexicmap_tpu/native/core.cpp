@@ -437,3 +437,262 @@ int32_t chain3_chain(const int32_t* qb, const int32_t* tb, const int32_t* ln,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Genome seeding: LexicHash capture + desert filling (build-side hot path;
+// mirrors ops/masking.py capture() and index/build.py fill_deserts()).
+
+extern "C" {
+
+static inline bool dust_scalar(uint64_t x, int k) {
+    uint8_t counts[64] = {0};
+    int score = 0;
+    for (int i = 0; i <= k - 2; ++i) {
+        uint8_t t = (x >> (2 * i)) & 63;
+        score += counts[t];
+        if (score > 50) return true;
+        counts[t]++;
+    }
+    return false;
+}
+
+// XOR-argmin range over a sorted array: returns [lo, hi) of winner k-mers.
+static inline void xor_argmin_range(const uint64_t* sk, int64_t n, uint64_t mask,
+                                    int bits, int64_t* out_lo, int64_t* out_hi) {
+    int64_t lo = 0, hi = n;
+    uint64_t prefix = 0;
+    for (int bit = bits - 1; bit >= 0; --bit) {
+        uint64_t b = 1ULL << bit;
+        uint64_t mid_val = prefix | b;
+        // binary search for mid_val in sk[lo:hi]
+        int64_t l = lo, h = hi;
+        while (l < h) {
+            int64_t m = (l + h) >> 1;
+            if (sk[m] < mid_val) l = m + 1; else h = m;
+        }
+        int64_t split = l;
+        bool desired = (mask & b) != 0;
+        bool has0 = split > lo;
+        bool has1 = hi > split;
+        bool go1 = desired ? has1 : !has0;
+        if (go1) { lo = split; prefix |= b; }
+        else { hi = split; }
+    }
+    *out_lo = lo;
+    *out_hi = hi;
+}
+
+// capture_native sorts candidate (kmer, loc) pairs and captures per mask.
+// Inputs: fwd/rc [n] packed k-mers; exclude [n] (0/1, may be NULL);
+// masks [m] sorted.  Outputs: out_kmers [m] (0 = none), out_counts [m],
+// out_pos flat positions (loc<<1|strand sorted per mask), cap limits it.
+// check_shorter: 1 -> global argmin; 0 -> require lcp >= prefix_len.
+// Returns total positions written, or -1 if cap exceeded, -2 if no candidates.
+int64_t capture_native(const uint64_t* fwd, const uint64_t* rc, int64_t n,
+                       const uint8_t* exclude, const uint64_t* masks, int64_t m,
+                       int32_t k, int32_t prefix_len, int32_t check_shorter,
+                       uint64_t* out_kmers, int64_t* out_counts,
+                       uint32_t* out_pos, int64_t cap) {
+    std::vector<std::pair<uint64_t, uint32_t>> cand;
+    cand.reserve((size_t)(2 * n));
+    for (int64_t i = 0; i < n; ++i) {
+        if (exclude && exclude[i]) continue;
+        cand.emplace_back(fwd[i], (uint32_t)(i << 1));
+        cand.emplace_back(rc[i], (uint32_t)(i << 1 | 1));
+    }
+    if (cand.empty()) return -2;
+    std::sort(cand.begin(), cand.end());
+    int64_t nc = (int64_t)cand.size();
+    std::vector<uint64_t> sk((size_t)nc);
+    for (int64_t i = 0; i < nc; ++i) sk[i] = cand[i].first;
+
+    int bits = 2 * k;
+    int64_t w = 0;
+    for (int64_t j = 0; j < m; ++j) {
+        int64_t lo, hi;
+        xor_argmin_range(sk.data(), nc, masks[j], bits, &lo, &hi);
+        uint64_t winner = sk[lo];
+        if (!check_shorter) {
+            // require shared prefix >= prefix_len
+            uint64_t x = winner ^ masks[j];
+            int lcp;
+            if (x == 0) lcp = k;
+            else {
+                int bl = 64 - __builtin_clzll(x);
+                lcp = (64 - bl) / 2 + (k - 32);
+            }
+            if (lcp < prefix_len) {
+                out_kmers[j] = 0;
+                out_counts[j] = 0;
+                continue;
+            }
+        }
+        int64_t cnt = hi - lo;
+        if (w + cnt > cap) return -1;
+        out_kmers[j] = winner;
+        out_counts[j] = cnt;
+        for (int64_t t = lo; t < hi; ++t) out_pos[w++] = cand[t].second;
+        std::sort(out_pos + (w - cnt), out_pos + w);
+    }
+    return w;
+}
+
+// fill_deserts_native mirrors index/build.py fill_deserts():
+// scans sorted seed locations; for every gap >= max_desert, re-masks the
+// +-1000 bp window (prefix-restricted capture semantics) and picks a
+// capturable k-mer roughly every seed_dist bases.
+// Outputs triplets (mask_idx, kmer, loc) in out_*; returns count or -1.
+int64_t fill_deserts_native(
+    const uint64_t* fwd, const uint64_t* rc, int64_t nk,
+    const uint32_t* locs, int64_t nlocs,
+    const uint8_t* interval_excluded, int64_t n_excl,
+    const uint64_t* masks, int64_t m,
+    int32_t k, int32_t prefix_len,
+    int32_t max_desert, int32_t seed_dist, int32_t seed_pos_r,
+    int64_t* out_mask, uint64_t* out_kmer, int64_t* out_loc, int64_t cap) {
+    if (nk <= 0) return 0;
+    int64_t L = nk + k - 1;
+    uint64_t ccc = 0, ggg = 0, ttt = 0;
+    for (int i = 0; i < k; ++i) {
+        ccc = (ccc << 2) | 1ULL;
+        ggg = (ggg << 2) | 2ULL;
+        ttt = (ttt << 2) | 3ULL;
+    }
+
+    // mask prefix ranges: masks sorted, prefixes contiguous
+    int64_t npref = 1LL << (2 * prefix_len);
+    int shift = 2 * (k - prefix_len);
+    std::vector<int64_t> plo((size_t)npref + 1);
+    {
+        int64_t j = 0;
+        for (int64_t p = 0; p <= npref; ++p) {
+            while (j < m && (int64_t)(masks[j] >> shift) < p) ++j;
+            plo[(size_t)p] = j;
+        }
+    }
+
+    int64_t n_out = 0;
+    int64_t pre = 0;
+    // window k-mers bucketed by their prefix_len-prefix (counting sort —
+    // cheaper than a full sort; capturing_mask only needs one bucket)
+    std::vector<uint64_t> wk;
+    std::vector<int32_t> bcnt((size_t)npref + 1);
+
+    for (int64_t li = 0; li <= nlocs; ++li) {
+        int64_t pos = (li < nlocs) ? (int64_t)(locs[li] >> 1) : (L - k);
+        int64_t d = pos - pre;
+        if (d < max_desert) { pre = pos; continue; }
+
+        int64_t start = pre - 1000;
+        int64_t pos_of_pre = 1000;
+        if (start < 0) { pos_of_pre += start; start = 0; }
+        int64_t end = pos + 1000 + k;
+        if (end > L) end = L;
+        int64_t nw = end - start - k + 1;
+        if (nw <= 0) { pre = pos; continue; }
+        int64_t pos_of_cur = pos_of_pre + d;
+
+        // counting-sort window k-mers into prefix buckets
+        std::fill(bcnt.begin(), bcnt.end(), 0);
+        for (int64_t i = 0; i < nw; ++i) {
+            bcnt[(size_t)(fwd[start + i] >> shift) + 1]++;
+            bcnt[(size_t)(rc[start + i] >> shift) + 1]++;
+        }
+        for (int64_t p = 0; p < npref; ++p) bcnt[(size_t)p + 1] += bcnt[(size_t)p];
+        wk.assign((size_t)(2 * nw), 0);
+        {
+            std::vector<int32_t> fill(bcnt.begin(), bcnt.end() - 1);
+            for (int64_t i = 0; i < nw; ++i) {
+                uint64_t a = fwd[start + i];
+                uint64_t b = rc[start + i];
+                wk[(size_t)fill[(size_t)(a >> shift)]++] = a;
+                wk[(size_t)fill[(size_t)(b >> shift)]++] = b;
+            }
+        }
+
+        auto capturing_mask = [&](uint64_t x) -> int64_t {
+            int64_t pref = (int64_t)(x >> shift);
+            int64_t mlo = plo[(size_t)pref], mhi = plo[(size_t)pref + 1];
+            if (mhi <= mlo) return -1;
+            // competitor bucket: window k-mers sharing the prefix
+            int64_t bl = bcnt[(size_t)pref];
+            int64_t bh = bcnt[(size_t)pref + 1];
+            int64_t best = -1;
+            for (int64_t j = mhi - 1; j >= mlo; --j) {  // highest mask wins
+                uint64_t mk = masks[j];
+                uint64_t bestx = ~0ULL;
+                uint64_t winner = 0;
+                for (int64_t t = bl; t < bh; ++t) {
+                    uint64_t xv = wk[(size_t)t] ^ mk;
+                    if (xv < bestx) { bestx = xv; winner = wk[(size_t)t]; }
+                }
+                if (winner == x) { best = j; break; }
+            }
+            return best;
+        };
+
+        auto kmer_ok = [&](uint64_t x) -> bool {
+            if (x == 0 || x == ccc || x == ggg || x == ttt) return false;
+            return !dust_scalar(x, k);
+        };
+
+        auto pos_ok = [&](int64_t gp) -> bool {
+            if (gp >= nk) return false;
+            if (interval_excluded && gp < n_excl && interval_excluded[gp]) return false;
+            return true;
+        };
+
+        auto try_pos = [&](int64_t j, int64_t* im, uint64_t* kv, int64_t* lv) -> bool {
+            int64_t gp = start + j;
+            if (j >= nw || !pos_ok(gp)) return false;
+            uint64_t xf = fwd[gp];
+            if (kmer_ok(xf)) {
+                int64_t mm = capturing_mask(xf);
+                if (mm >= 0) { *im = mm; *kv = xf; *lv = gp << 1; return true; }
+            }
+            uint64_t xr = rc[gp];
+            if (kmer_ok(xr)) {
+                int64_t mm = capturing_mask(xr);
+                if (mm >= 0) { *im = mm; *kv = xr; *lv = (gp << 1) | 1; return true; }
+            }
+            return false;
+        };
+
+        int64_t j = pos_of_pre + seed_dist;
+        while (j < pos_of_cur) {
+            int64_t jstart = j + 1;
+            int64_t end_up = j - seed_pos_r;
+            int64_t im; uint64_t kv; int64_t lv;
+            bool hit = false;
+            while (j > end_up) {
+                if (try_pos(j, &im, &kv, &lv)) { hit = true; break; }
+                --j;
+            }
+            if (hit) {
+                if (n_out >= cap) return -1;
+                out_mask[n_out] = im; out_kmer[n_out] = kv; out_loc[n_out] = lv;
+                ++n_out;
+                j += seed_dist;
+                continue;
+            }
+            if (jstart >= pos_of_cur) break;
+            int64_t end_dn = jstart + seed_pos_r;
+            if (end_dn > pos_of_cur - 1) end_dn = pos_of_cur - 1;
+            j = jstart;
+            while (j < end_dn) {
+                if (try_pos(j, &im, &kv, &lv)) { hit = true; break; }
+                ++j;
+            }
+            if (hit) {
+                if (n_out >= cap) return -1;
+                out_mask[n_out] = im; out_kmer[n_out] = kv; out_loc[n_out] = lv;
+                ++n_out;
+            }
+            j += seed_dist;
+        }
+        pre = pos;
+    }
+    return n_out;
+}
+
+}  // extern "C"
