@@ -69,6 +69,37 @@ def cmd_genome_search(args) -> int:
                     f"{q.id.decode()}\t{gid}\t{gopt.min_prefix}\t-\t-\t{score}\t-\n"
                 )
             continue
+        if args.OrthoANI:
+            from .index.gsearch import GQuery, ortho_ani_compare
+            import numpy as np
+
+            for codes, score in groups:
+                code = codes[0]
+                b = code >> 17
+                gi = code & ((1 << 17) - 1)
+                st = idx.genome_stores[b]
+                sizes = st.seq_sizes(gi)
+                contigs = []
+                pos = 0
+                for s in sizes:
+                    contigs.append(st.subseq_codes(gi, pos, pos + s - 1))
+                    pos += s + idx.contig_interval
+                sq = GQuery(
+                    id=idx.id_of_code.get(code, b"?"),
+                    seqs=contigs,
+                    big_codes=np.concatenate(contigs) if contigs else np.empty(0, "u1"),
+                    skip_regions=[],
+                    genome_size=sum(sizes),
+                )
+                ani, af_q, af_s, _n = ortho_ani_compare(q, sq, gopt)
+                if af_q * 100 < gopt.min_af:
+                    continue
+                out.write(
+                    f"{q.id.decode()}\t{sq.id.decode()}\t{ani * 100:.3f}\t"
+                    f"{af_q * 100:.3f}\t{af_s * 100:.3f}\t{len(q.seqs)}\t"
+                    f"{q.genome_size}\t{len(sq.seqs)}\t{sq.genome_size}\n"
+                )
+            continue
         for gr in gsearch_align(idx, q, groups, gopt):
             out.write(
                 f"{q.id.decode()}\t{gr.genome_id.decode()}\t{gr.ani * 100:.3f}\t"
@@ -204,6 +235,7 @@ def register_genome(sub) -> None:
     p.add_argument("--kmer-scale", type=int, default=4)
     p.add_argument("--max-subject-genome-size", type=int, default=20, help="in Mb")
     p.add_argument("-S", "--only-genome-screening", action="store_true")
+    p.add_argument("-O", "--OrthoANI", action="store_true")
     p.add_argument("-w", "--load-whole-seeds", action="store_true")
     p.add_argument("-i", "--align-min-match-pident", type=float, default=70.0)
     p.add_argument("-l", "--align-min-match-len", type=int, default=30)

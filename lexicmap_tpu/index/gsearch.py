@@ -352,6 +352,7 @@ def _align_fragment(
     opt: GSearchOptions,
     total_bases: int,
     top_chains: int,
+    want_pos: bool = False,
 ):
     """(ref: alignQueryFragToSubjectSampled + alignChain, genome3.go:316-609)"""
     K = GSA3_SAMPLED_K
@@ -394,10 +395,71 @@ def _align_fragment(
         matched, aligned, gaps, pident = r
         score = matched * aligned
         if best is None or score > best[0]:
-            best = (score, matched, aligned, gaps, pident)
+            best = (score, matched, aligned, gaps, pident, c.tbegin)
     if best is None:
         return None
-    return best[1:]
+    return best[1:] if want_pos else best[1:5]
+
+
+def ortho_ani_compare(query: GQuery, subject: GQuery, opt: GSearchOptions):
+    """OrthoANI-style comparison: fragment BOTH genomes, align each side's
+    fragments against the other genome, and average pident over reciprocal
+    best fragment pairs (ref: GSearchAlignOrthoANI, lib-index-search-genome
+    .go:538 / genome3.go:1183; simplified reciprocal-best formulation).
+
+    Returns (ani_fraction, af_q, af_s, n_pairs)."""
+
+    def one_side(qg: GQuery, sg: GQuery):
+        """Align qg fragments to sg; returns {frag_idx: (pident, s_frag_idx,
+        aligned)} using the best chain's subject position."""
+        qfrags, qtotal = seqs2fragments(qg.seqs, opt.frag_size, opt.min_frag_size)
+        out = {}
+        if not qfrags:
+            return out, qtotal
+        concat, skip_excl, bounds, fwd_len, rc_start = _build_subject_concat(
+            sg.seqs, opt.frag_size
+        )
+        sketch = SubjectSketch(
+            concat, skip_excl, bounds, fwd_len, rc_start, opt.kmer_scale
+        )
+        cpr_opt = opt.seqcompare_options()
+        c2opt = opt.chaining2_options()
+        for i, frag in enumerate(qfrags):
+            qk, qp = sample_fragment_kmers(frag, opt.kmer_scale)
+            r = _align_fragment(
+                frag, qk, qp, sketch, concat, cpr_opt, c2opt, opt,
+                sg.genome_size, opt.top_n_chains, want_pos=True,
+            )
+            if r is None:
+                continue
+            matched, aligned, gaps, pident, tpos = r
+            # map subject position to a forward-strand fragment index
+            if tpos >= rc_start:
+                tpos = fwd_len - 1 - (tpos - rc_start)
+            # subtract preceding contig intervals to approximate the
+            # original coordinate, then bucket by fragment size
+            sfrag = int(tpos // opt.frag_size)
+            out[i] = (pident, sfrag, aligned - gaps)
+        return out, qtotal
+
+    fwd_map, qtotal = one_side(query, subject)
+    rev_map, stotal = one_side(subject, query)
+    pidents = []
+    aligned_q = 0
+    aligned_s = 0
+    for qi, (pid1, sj, al1) in fwd_map.items():
+        back = rev_map.get(sj)
+        if back is None:
+            continue
+        pid2, qj, al2 = back
+        if qj == qi:  # reciprocal best
+            pidents.append((pid1 + pid2) / 2)
+            aligned_q += al1
+            aligned_s += al2
+    ani = sum(pidents) / len(pidents) / 100 if pidents else 0.0
+    af_q = min(aligned_q / qtotal, 1.0) if qtotal else 0.0
+    af_s = min(aligned_s / stotal, 1.0) if stotal else 0.0
+    return ani, af_q, af_s, len(pidents)
 
 
 def _align_chain(qfrag, concat, c, sketch, cpr, ext_len, opt, total_bases, q_len):

@@ -120,3 +120,15 @@ def test_genome_pairs(setup):
     top = pairs[0]
     ids = {idx.id_of_code[top[0]].decode(), idx.id_of_code[top[1]].decode()}
     assert ids == {"GA", "GB"}
+
+
+def test_ortho_ani(setup):
+    idx, genomes, files, d = setup
+    from lexicmap_tpu.index.gsearch import GSearchOptions, ortho_ani_compare, read_genome_query
+
+    q1 = read_genome_query(str(d / "GA.fasta"), 13)
+    q2 = read_genome_query(str(d / "GB.fasta"), 13)
+    ani, af_q, af_s, n = ortho_ani_compare(q1, q2, GSearchOptions())
+    assert n > 50
+    assert ani == pytest.approx(0.98, abs=0.01)
+    assert af_q > 0.5 and af_s > 0.5
