@@ -239,11 +239,14 @@ def cmd_search(args) -> int:
 
 
 def build_parser() -> argparse.ArgumentParser:
+    from . import __version__
+
     p = argparse.ArgumentParser(
         prog="lexicmap-tpu",
         description="TPU-native LexicMap-class sequence alignment engine",
     )
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--version", action="version", version=f"lexicmap-tpu {__version__}")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pi = sub.add_parser("index", help="build an index from genome files")

@@ -52,3 +52,79 @@ def test_entry_jit_compiles():
     out.block_until_ready()
     assert out.shape == (args[1].shape[0],)
     assert (np.asarray(out) > 0).all()
+
+
+def test_sharded_screening_real_index(tmp_path):
+    """Pack a real (tiny) index for device, shard over an 8-device mesh, and
+    cross-check per-query scores against the host computation."""
+    import numpy as np
+
+    from lexicmap_tpu.index.build import BuildOptions, build_index
+    from lexicmap_tpu.index.search import IndexSearcher, SearchOptions
+    from lexicmap_tpu.parallel.sharded import (
+        make_mesh,
+        make_sharded_search_step,
+        shard_arrays,
+    )
+    from lexicmap_tpu.utils.kmers import seq_to_codes
+
+    rng = np.random.default_rng(9)
+    files = []
+    seqs = {}
+    for i in range(3):
+        seq = bytes(rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=30000))
+        p = tmp_path / f"S{i}.fasta"
+        with open(p, "wb") as fh:
+            fh.write(b">c0\n" + seq + b"\n")
+        seqs[f"S{i}"] = seq
+        files.append(str(p))
+    db = str(tmp_path / "s.lmt")
+    build_index(db, files, BuildOptions(k=31, n_masks=256, chunks=2))
+    idx = IndexSearcher(db, SearchOptions())
+
+    # pad per-mask entries into an [M, E] uint64 table
+    per_mask = []
+    for rdr in idx.chunks:
+        km = np.asarray(rdr.kmers)
+        off = np.asarray(rdr.mask_offsets)
+        for mi in range(rdr.mask_end - rdr.mask_begin):
+            per_mask.append(km[off[mi] : off[mi + 1]])
+    E = max(((max(len(a) for a in per_mask) + 7) // 8) * 8, 8)
+    table = np.full((256, E), np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+    for i, a in enumerate(per_mask):
+        table[i, : a.shape[0]] = a
+
+    # query batch: masked k-mers of windows from two genomes
+    queries = []
+    for name in ["S0", "S2"]:
+        q = seqs[name][4000:6000]
+        kmers, _ = idx._mask_query(seq_to_codes(q))
+        queries.append(kmers)
+    qarr = np.stack(queries * 4)  # batch of 8
+
+    mesh = make_mesh(8)
+    step = make_sharded_search_step(mesh, k=31, min_prefix=15)
+    s_seeds, s_queries = shard_arrays(mesh, table, qarr)
+    scores = np.asarray(step(s_seeds, s_queries))
+    assert scores.shape == (8,)
+    assert (scores > 0).all()
+    # replicated queries must produce identical scores
+    assert scores[0] == scores[2] == scores[4] == scores[6]
+    assert scores[1] == scores[3] == scores[5] == scores[7]
+
+    # cross-check one query against a host computation
+    suf = np.uint64((1 << (2 * (31 - 15))) - 1)
+    expect = 0.0
+    from lexicmap_tpu.utils.kmers import kmer_lcp
+
+    for mi in range(256):
+        q = queries[0][mi]
+        if q == 0:
+            continue
+        row = per_mask[mi]
+        sel = (row >= (q & ~suf)) & (row <= (q | suf))
+        n = int(sel.sum())
+        if n:
+            lcp0 = int(kmer_lcp(row[np.argmax(sel)], np.uint64(q), 31))
+            expect += n * lcp0
+    assert scores[0] == pytest.approx(expect)
