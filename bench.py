@@ -53,17 +53,25 @@ def main():
     idx = IndexSearcher(DEMO_DB, SearchOptions())
     rec = next(read_fastx(GENE_QUERY))
 
-    # warm-up (first call pays numpy/mmap warmup)
+    # warm-up (first call pays numpy/mmap warmup) + parity check
     hits = idx.search_bytes(rec.seq)
     rows = list(format_hit_rows(rec.id.decode(), len(rec.seq), hits))
     golden = [l.rstrip("\n") for l in open(GOLDEN)][1:]
     parity = rows == golden
 
-    n_rep = 3
+    # throughput over a worker pool (the reference's number is likewise a
+    # full-machine figure: 1197.8 q/min on 16 threads)
+    import multiprocessing as mp
+
+    workers = os.cpu_count() or 1
+    n_queries = max(8, 4 * workers)
+    global _BENCH_IDX
+    _BENCH_IDX = idx
+    ctx = mp.get_context("fork")
     t0 = time.time()
-    for _ in range(n_rep):
-        idx.search_bytes(rec.seq)
-    elapsed = (time.time() - t0) / n_rep
+    with ctx.Pool(workers) as pool:
+        list(pool.imap(_bench_one, [rec.seq] * n_queries, chunksize=1))
+    elapsed = (time.time() - t0) / n_queries
     qpm = 60.0 / elapsed
 
     print(
@@ -75,9 +83,17 @@ def main():
                 "vs_baseline": round(qpm / BASELINE_QPM, 4),
                 "golden_tsv_parity": parity,
                 "seconds_per_query": round(elapsed, 3),
+                "workers": workers,
             }
         )
     )
+
+
+_BENCH_IDX = None
+
+
+def _bench_one(seq):
+    return len(_BENCH_IDX.search_bytes(seq))
 
 
 if __name__ == "__main__":
