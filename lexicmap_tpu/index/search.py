@@ -86,6 +86,7 @@ class SearchOptions:
     max_evalue: float = SearchDefaults.MAX_EVALUE
     in_memory: bool = False
     output_seq: bool = False  # -a/--all
+    engine: str = "host"  # "host" | "device" (Pallas seed matching)
 
     # TaxId filtering (ref: lib-index-search.go:93-98, search.go:232-239)
     taxdump_dir: str | None = None
@@ -211,6 +212,13 @@ class IndexSearcher:
                 self.genome_chunk_group[code] = gi
 
         self._ccc, self._ggg, self._ttt = homopolymer_codes(self.k)[1:]
+
+        # optional Pallas device seed matcher (HBM-resident packed index)
+        self.device_matcher = None
+        if self.opt.engine == "device":
+            from ..parallel.device_search import DeviceSeedMatcher
+
+            self.device_matcher = DeviceSeedMatcher(self)
 
         # TaxId filtering (ref: lib-index-search.go:316-416)
         self.filter_by_taxid = bool(self.opt.taxids or self.opt.negative_taxids)
@@ -338,16 +346,46 @@ class IndexSearcher:
         all_qloc_entry = []  # per-hit: index of the orig mask (for query locs)
         all_rev = []
 
+        # device prefix matching: one kernel launch for all masks
+        dev_hits = None
+        if self.device_matcher is not None and self.opt.min_prefix <= 16:
+            dev_hits = self.device_matcher.match(kmers, self.opt.min_prefix)
+
         for rdr in self.chunks:
             # ---- prefix search ----
             mb, me = rdr.mask_begin, rdr.mask_end
-            mask_ids = np.arange(mb, me)
-            qk = kmers[mb:me]
-            sel = qk != 0
-            if sel.any():
-                mi = mask_ids[sel]
-                qks = qk[sel]
-                eidx, qrow, lcp = self._match_chunk(rdr, mi, qks, want_rev=False)
+            if dev_hits is not None:
+                # device path: the kernel already located every mask's
+                # [e0, e0+n) entry range; apply the same entry-level
+                # reverse-flag filter + LCP as the host path
+                hm, he0, hnh = dev_hits
+                insel = (hm >= mb) & (hm < me)
+                mi = hm[insel]
+                qks = kmers[mi]
+                base = np.asarray(rdr.mask_offsets)[mi - mb]
+                eidx = _ranges_to_indices(base + he0[insel], base + he0[insel] + hnh[insel])
+                qrow = np.repeat(np.arange(mi.shape[0]), hnh[insel])
+                first_vals = np.asarray(rdr.values[np.asarray(rdr.entry_offsets)[eidx]])
+                ok = (first_vals & np.uint64(1)) == np.uint64(0)
+                eidx = eidx[ok]
+                qrow = qrow[ok]
+                lcp = (
+                    kmer_lcp(np.asarray(rdr.kmers[eidx]), qks[qrow], self.k)
+                    if eidx.shape[0]
+                    else np.empty(0, dtype=np.int64)
+                )
+            else:
+                mask_ids = np.arange(mb, me)
+                qk = kmers[mb:me]
+                sel = qk != 0
+                if sel.any():
+                    mi = mask_ids[sel]
+                    qks = qk[sel]
+                    eidx, qrow, lcp = self._match_chunk(rdr, mi, qks, want_rev=False)
+                else:
+                    eidx = np.empty(0, dtype=np.int64)
+                    mi = qrow = lcp = eidx
+            if True:
                 if eidx.shape[0]:
                     v_idx = _ranges_to_indices(
                         np.asarray(rdr.entry_offsets[eidx]),

@@ -1,0 +1,52 @@
+"""engine='device' (Pallas seed matching) must reproduce the host results."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from lexicmap_tpu.index.build import BuildOptions, build_index
+from lexicmap_tpu.index.search import IndexSearcher, SearchOptions
+
+
+@pytest.fixture(scope="module")
+def db(tmp_path_factory):
+    rng = np.random.default_rng(13)
+    d = tmp_path_factory.mktemp("drefs")
+    files = []
+    seqs = {}
+    for i in range(3):
+        name = f"D{i}"
+        seq = bytes(rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=50000))
+        seqs[name] = seq
+        p = d / f"{name}.fasta"
+        with open(p, "wb") as fh:
+            fh.write(b">c0\n" + seq + b"\n")
+        files.append(str(p))
+    out = str(tmp_path_factory.mktemp("ddb") / "d.lmt")
+    build_index(out, files, BuildOptions(k=31, n_masks=512, chunks=2))
+    return out, seqs
+
+
+def rows_of(results):
+    from lexicmap_tpu.cli import format_hit_rows
+
+    return list(format_hit_rows("q", 0, results))
+
+
+def test_device_engine_matches_host(db):
+    out, seqs = db
+    host = IndexSearcher(out, SearchOptions(engine="host"))
+    dev = IndexSearcher(out, SearchOptions(engine="device"))
+    assert dev.device_matcher is not None
+    rng = np.random.default_rng(3)
+    for name in ["D0", "D1", "D2"]:
+        base = bytearray(seqs[name][10000:12000])
+        for _ in range(20):
+            p = int(rng.integers(0, len(base)))
+            base[p] = ord("ACGT"[int(rng.integers(0, 4))])
+        q = bytes(base)
+        r_host = host.search_bytes(q)
+        r_dev = dev.search_bytes(q)
+        assert rows_of(r_host) == rows_of(r_dev), name
+        assert r_host and r_host[0].genome_id.decode() == name
