@@ -165,6 +165,7 @@ def cmd_search(args) -> int:
         max_evalue=args.max_evalue,
         in_memory=args.load_whole_seeds,
         output_seq=args.all,
+        engine=args.engine,
         taxdump_dir=args.taxdump or None,
         genome2taxid_file=args.genome2taxid or None,
         taxids=taxids,
@@ -283,6 +284,10 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("-o", "--out-file", default="-")
     ps.add_argument("-a", "--all", action="store_true")
     ps.add_argument("--show-sseq-idx", action="store_true")
+    ps.add_argument(
+        "--engine", choices=["host", "device"], default="host",
+        help="seed-matching engine: host bisection or the Pallas TPU kernel",
+    )
     ps.add_argument("-J", "--max-query-conc", type=int, default=1)
     ps.add_argument("--quiet", action="store_true")
     ps.add_argument("-p", "--seed-min-prefix", type=int, default=SearchDefaults.MIN_PREFIX)

@@ -87,6 +87,20 @@ def get_lib():
     ]
     u64p = np.ctypeslib.ndpointer(dtype=np.uint64, flags="C_CONTIGUOUS")
     u32p = np.ctypeslib.ndpointer(dtype=np.uint32, flags="C_CONTIGUOUS")
+    lib.chain2_backtrack.restype = ctypes.c_int64
+    lib.chain2_backtrack.argtypes = [
+        i64p, i64p, i64p, f64p, i64p, ctypes.c_int64,
+        ctypes.c_double, ctypes.c_int32, ctypes.c_double,
+        i64p, f64p, ctypes.c_int64, i64p,
+    ]
+    lib.compare_probe.restype = ctypes.c_int64
+    lib.compare_probe.argtypes = [
+        u64p, u32p, ctypes.c_int64,
+        u64p, u64p, ctypes.c_int64,
+        i8p, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int64, ctypes.c_int64,
+        i64p, i64p, i64p, i8p, ctypes.c_int64,
+    ]
     lib.capture_native.restype = ctypes.c_int64
     lib.capture_native.argtypes = [
         u64p, u64p, ctypes.c_int64, ctypes.c_void_p, u64p, ctypes.c_int64,
@@ -246,6 +260,55 @@ def fill_deserts_native_call(
             cap *= 4
             continue
         return [(int(om[i]), int(ok[i]), int(ol[i])) for i in range(w)]
+
+
+def chain2_backtrack_native(qb, tb, ln, scores, prev, min_score, min_align_len, heur):
+    """Returns (rows [n,8] int64, pidents [n] float64) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = int(qb.shape[0])
+    cap = max(n, 64)
+    out = np.empty(cap * 8, dtype=np.int64)
+    out_p = np.empty(cap, dtype=np.float64)
+    totals = np.zeros(3, dtype=np.int64)
+    w = lib.chain2_backtrack(
+        np.ascontiguousarray(qb, dtype=np.int64),
+        np.ascontiguousarray(tb, dtype=np.int64),
+        np.ascontiguousarray(ln, dtype=np.int64),
+        np.ascontiguousarray(scores, dtype=np.float64),
+        np.ascontiguousarray(prev, dtype=np.int64),
+        n, float(min_score), int(min_align_len), float(heur),
+        out, out_p, cap, totals,
+    )
+    return out[: w * 8].reshape(w, 8), out_p[:w], totals
+
+
+def compare_probe_native(qk, qv, tf, tr, valid, mprefix, k, begin, end):
+    """Returns (aq, at, al, arc) anchor arrays or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    nt = int(tf.shape[0])
+    cap = max(8 * nt, 4096)
+    qk = np.ascontiguousarray(qk, dtype=np.uint64)
+    qv = np.ascontiguousarray(qv, dtype=np.uint32)
+    tf = np.ascontiguousarray(tf, dtype=np.uint64)
+    tr = np.ascontiguousarray(tr, dtype=np.uint64)
+    valid = np.ascontiguousarray(valid.astype(np.uint8))
+    while True:
+        aq = np.empty(cap, dtype=np.int64)
+        at = np.empty(cap, dtype=np.int64)
+        al = np.empty(cap, dtype=np.int64)
+        arc = np.empty(cap, dtype=np.uint8)
+        w = lib.compare_probe(
+            qk, qv, int(qk.shape[0]), tf, tr, nt, valid,
+            int(mprefix), int(k), int(begin), int(end), aq, at, al, arc, cap,
+        )
+        if w == -1:
+            cap *= 4
+            continue
+        return aq[:w], at[:w], al[:w], arc[:w].astype(bool)
 
 
 def chain3_native(qb, tb, ln, max_gap=5, min_score=1, min_align_len=2,

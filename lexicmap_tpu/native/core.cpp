@@ -696,3 +696,170 @@ int64_t fill_deserts_native(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Chainer2 backtrack with region splitting (mirrors ops/chaining2.py
+// _chain_a_region).  Emits chains as 9-tuples into flat arrays.
+
+extern "C" {
+
+struct C2Params {
+    double min_score;
+    int32_t min_align_len;
+    double heuristic_pident;
+};
+
+// out arrays sized cap; chain row: [n_anchors, aligned_q, aligned_t,
+// matched, qb, qe, tb, te] int64 x 8 + pident double
+static int64_t c2_region(const int64_t* qb, const int64_t* tb, const int64_t* ln,
+                         const double* ms, const int64_t* pv,
+                         int64_t lo, int64_t hi, const C2Params* P,
+                         int64_t Mi0,
+                         int64_t* out, double* out_pident, int64_t cap,
+                         int64_t n_out, int64_t* totals) {
+    if (hi <= lo) return n_out;
+    int64_t Mi;
+    double M;
+    if (Mi0 < 0) {
+        Mi = lo;
+        M = ms[lo];
+        for (int64_t i = lo + 1; i < hi; ++i)
+            if (ms[i] > M) { M = ms[i]; Mi = i; }
+        if (M < P->min_score) return n_out;
+    } else {
+        Mi = Mi0;
+        M = ms[Mi];
+    }
+
+    int64_t i = Mi;
+    int64_t qb_b = INT64_MAX, tb_b = INT64_MAX, qe = -1, te = -1;
+    bool first = true;
+    int64_t n_anchors = 0, n_matched = 0, naq = 0, nat = 0;
+    int64_t begin_next = 0;
+    int64_t j = i;
+    bool left_exit = false;
+    while (true) {
+        j = pv[i];
+        if (j < lo) { left_exit = true; break; }
+        ++n_anchors;
+        if (first) {
+            first = false;
+            qe = qb[i] + ln[i] - 1;
+            te = tb[i] + ln[i] - 1;
+            qb_b = qb[i]; tb_b = tb[i];
+            n_matched += ln[i];
+        } else {
+            qb_b = qb[i]; tb_b = tb[i];
+            if (qb[i] + ln[i] - 1 >= begin_next) n_matched += begin_next - qb[i];
+            else n_matched += ln[i];
+        }
+        begin_next = qb[i];
+        if (i == j) {
+            if (first) break;
+            naq += qe - qb_b + 1;
+            if (naq < P->min_align_len) { first = true; break; }
+            nat += te - tb_b + 1;
+            double pident = (double)n_matched / (double)std::max(naq, nat) * 100.0;
+            if (pident < P->heuristic_pident) { first = true; break; }
+            if (pident > 100.0) pident = 100.0;
+            if (n_out < cap) {
+                int64_t* row = out + n_out * 8;
+                row[0] = n_anchors; row[1] = naq; row[2] = nat; row[3] = n_matched;
+                row[4] = qb_b; row[5] = qe; row[6] = tb_b; row[7] = te;
+                out_pident[n_out] = pident;
+                ++n_out;
+                totals[0] += n_matched; totals[1] += naq; totals[2] += nat;
+            }
+            first = true;
+            break;
+        }
+        i = j;
+    }
+
+    if (left_exit && n_anchors > 0) {
+        naq += qe - qb_b + 1;
+        nat += te - tb_b + 1;
+        if (naq >= P->min_align_len) {
+            double pident = (double)n_matched / (double)std::max(naq, nat) * 100.0;
+            if (pident >= P->heuristic_pident) {
+                if (pident > 100.0) pident = 100.0;
+                if (n_out < cap) {
+                    int64_t* row = out + n_out * 8;
+                    row[0] = n_anchors; row[1] = naq; row[2] = nat; row[3] = n_matched;
+                    row[4] = qb_b; row[5] = qe; row[6] = tb_b; row[7] = te;
+                    out_pident[n_out] = pident;
+                    ++n_out;
+                    totals[0] += n_matched; totals[1] += naq; totals[2] += nat;
+                }
+            }
+        }
+    }
+
+    if (Mi != hi - 1)
+        n_out = c2_region(qb, tb, ln, ms, pv, Mi + 1, hi, P, -1, out, out_pident, cap, n_out, totals);
+    if (i > lo)
+        n_out = c2_region(qb, tb, ln, ms, pv, lo, i, P, -1, out, out_pident, cap, n_out, totals);
+    return n_out;
+}
+
+int64_t chain2_backtrack(const int64_t* qb, const int64_t* tb, const int64_t* ln,
+                         const double* ms, const int64_t* pv, int64_t n,
+                         double min_score, int32_t min_align_len,
+                         double heuristic_pident,
+                         int64_t* out, double* out_pident, int64_t cap,
+                         int64_t* totals) {
+    int64_t Mi = 0;
+    double M = 0.0;
+    for (int64_t i = 0; i < n; ++i)
+        if (ms[i] > M) { M = ms[i]; Mi = i; }
+    if (M < min_score) return 0;
+    C2Params P{min_score, min_align_len, heuristic_pident};
+    totals[0] = totals[1] = totals[2] = 0;
+    return c2_region(qb, tb, ln, ms, pv, 0, n, &P, Mi, out, out_pident, cap, 0, totals);
+}
+
+// ---------------------------------------------------------------------------
+// SeqComparator probe: match target k-mers against the sorted query k-mer
+// table with >=m-prefix ranges (mirrors ops/seqcompare.py compare()).
+
+int64_t compare_probe(const uint64_t* qk, const uint32_t* qv, int64_t nq,
+                      const uint64_t* tf, const uint64_t* tr, int64_t nt,
+                      const uint8_t* valid, int32_t mprefix, int32_t k,
+                      int64_t begin, int64_t end,
+                      int64_t* aq, int64_t* at, int64_t* al, uint8_t* arc,
+                      int64_t cap) {
+    uint64_t suf = ((1ULL << (2 * (k - mprefix))) - 1);
+    int64_t w = 0;
+    for (int64_t i = 0; i < nt; ++i) {
+        if (!valid[i]) continue;
+        for (int strand = 0; strand < 2; ++strand) {
+            uint64_t t = strand == 0 ? tf[i] : tr[i];
+            uint64_t lb = t & ~suf;
+            uint64_t rb = t | suf;
+            int64_t lo = std::lower_bound(qk, qk + nq, lb) - qk;
+            for (int64_t j = lo; j < nq && qk[j] <= rb; ++j) {
+                uint64_t x = t ^ qk[j];
+                int lcp;
+                if (x == 0) lcp = k;
+                else lcp = (64 - (64 - __builtin_clzll(x))) / 2 + (k - 32);
+                uint32_t v = qv[j];
+                if (strand == 0) {
+                    if (v & 1) continue;
+                    int64_t p = v >> 1;
+                    if (p < begin || p + lcp > end) continue;
+                    if (w >= cap) return -1;
+                    aq[w] = p; at[w] = i; al[w] = lcp; arc[w] = 0; ++w;
+                } else {
+                    if (!(v & 1)) continue;
+                    int64_t p = (int64_t)(v >> 1) + k - lcp;
+                    if (p + lcp < begin || p > end) continue;
+                    if (w >= cap) return -1;
+                    aq[w] = p; at[w] = i + k - lcp; al[w] = lcp; arc[w] = 1; ++w;
+                }
+            }
+        }
+    }
+    return w;
+}
+
+}  // extern "C"

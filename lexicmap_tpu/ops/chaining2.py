@@ -154,6 +154,33 @@ def _chain2_finish(anchors, max_scores, prev_idx, M, Mi, opt: Chaining2Options):
     if M < opt.min_score:
         return None, 0, 0, 0, 0, 0, 0, 0
 
+    from ..native import chain2_backtrack_native
+
+    native = chain2_backtrack_native(
+        anchors.qbegin.astype(np.int64), anchors.tbegin.astype(np.int64),
+        anchors.length.astype(np.int64), max_scores, prev_idx,
+        float(opt.min_score), opt.min_align_len,
+        float(opt.heuristic_kmer_pident_threshold),
+    )
+    if native is not None:
+        rows, pidents, totals = native
+        if rows.shape[0] == 0:
+            return None, 0, 0, 0, 0, 0, 0, 0
+        paths = [
+            Chain2Result(
+                n_anchors=int(r[0]), aligned_bases_q=int(r[1]),
+                aligned_bases_t=int(r[2]), matched_bases=int(r[3]),
+                pident=float(p), qbegin=int(r[4]), qend=int(r[5]),
+                tbegin=int(r[6]), tend=int(r[7]),
+            )
+            for r, p in zip(rows, pidents)
+        ]
+        qB = min(c.qbegin for c in paths)
+        qE = max(c.qend for c in paths)
+        tB = min(c.tbegin for c in paths)
+        tE = max(c.tend for c in paths)
+        return paths, int(totals[0]), int(totals[1]), int(totals[2]), qB, qE, tB, tE
+
     paths: list[Chain2Result] = []
     totals = {"matched": 0, "aligned_q": 0, "aligned_t": 0}
     _, qB, qE, tB, tE = _chain_a_region(

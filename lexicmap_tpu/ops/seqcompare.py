@@ -138,6 +138,18 @@ class SeqComparator:
         if tpos.shape[0] == 0:
             return None
 
+        from ..native import compare_probe_native
+
+        native = compare_probe_native(
+            self.qk, self.qv, tf, tr, valid, m, k, begin, end
+        )
+        if native is not None:
+            aq, at, al, arc = native
+            if aq.shape[0] < 1:
+                return None
+            anchors = Anchors(aq, at, al, arc, arc)
+            return self._finish_compare(anchors, query_len)
+
         suf = np.uint64((1 << (2 * (k - m))) - 1)
         anchors_parts = []
 
@@ -188,7 +200,10 @@ class SeqComparator:
             [np.full(a[0].shape[0], a[3], dtype=bool) for a in anchors_parts]
         )
         anchors = Anchors(qb, tb, ln, rcflags, rcflags)
+        return self._finish_compare(anchors, query_len)
 
+    def _finish_compare(self, anchors: Anchors, query_len: int):
+        k = self.k
         anchors = clear_substr_pairs(anchors, k)
         anchors = trim_substr_pairs(anchors, k, 100.0)
         if len(anchors) == 0:
