@@ -62,6 +62,7 @@ def cmd_index(args) -> int:
         big_genome_file=args.big_genomes or None,
         force=args.force,
         verbose=not args.quiet,
+        threads=args.threads,
     )
     t0 = time.time()
     info = build_index(args.out_dir, files, opt)
@@ -255,6 +256,8 @@ def build_parser() -> argparse.ArgumentParser:
     pi.add_argument("-I", "--in-dir", default="")
     pi.add_argument("-X", "--infile-list", default="")
     pi.add_argument("-O", "--out-dir", required=True)
+    pi.add_argument("-j", "--threads", type=int, default=0, help="0 = all CPUs")
+    pi.add_argument("--quiet", action="store_true")
     pi.add_argument("-k", "--kmer", type=int, default=IndexDefaults.K)
     pi.add_argument("-m", "--masks", type=int, default=IndexDefaults.MASKS)
     pi.add_argument("-s", "--rand-seed", type=int, default=IndexDefaults.RAND_SEED)

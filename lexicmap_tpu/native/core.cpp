@@ -58,62 +58,88 @@ int64_t wfa_align(const uint8_t* q, int64_t n, const uint8_t* t, int64_t m,
     }
 
     const int32_t k_end = (int32_t)(m - n);
-    std::vector<WF> wfs;  // indexed by score
     int64_t max_score =
         (int64_t)x * std::max(n, m) + 2 * ((int64_t)o + (int64_t)e * std::max(n, m)) + 10;
 
-    wfs.emplace_back();
-    wfs[0].present = true;
-    wfs[0].lo = 0;
-    wfs[0].M.assign(1, extend_match(q, t, n, m, 0, 0));
-    wfs[0].I.assign(1, NEG);
-    wfs[0].D.assign(1, NEG);
+    // flat arena: per score (lo, width, offset); M/I/D rows contiguous
+    struct Meta { int32_t lo; int32_t width; int64_t off; };
+    std::vector<Meta> meta;
+    meta.reserve(1024);
+    std::vector<int64_t> arena;
+    arena.reserve(1 << 16);
+
+    auto alloc_wf = [&](int32_t lo, int32_t width) -> int64_t {
+        int64_t off = (int64_t)arena.size();
+        arena.resize(arena.size() + (size_t)(3 * width), NEG);
+        return off;
+    };
+    auto getv = [&](int64_t s, int which, int32_t k) -> int64_t {
+        if (s < 0 || (size_t)s >= meta.size()) return NEG;
+        const Meta& mt = meta[(size_t)s];
+        if (mt.width <= 0) return NEG;
+        int32_t idx = k - mt.lo;
+        if (idx < 0 || idx >= mt.width) return NEG;
+        return arena[(size_t)(mt.off + which * mt.width + idx)];
+    };
+
+    {
+        meta.push_back({0, 1, 0});
+        int64_t off = alloc_wf(0, 1);
+        arena[(size_t)off] = extend_match(q, t, n, m, 0, 0);  // M
+    }
 
     int64_t s_final = -1;
-    if (k_end == 0 && wfs[0].M[0] >= m) {
-        s_final = 0;
-    }
+    if (k_end == 0 && getv(0, 0, 0) >= m) s_final = 0;
 
     int64_t s = 0;
     while (s_final < 0 && s < max_score) {
         ++s;
-        wfs.emplace_back();  // grow FIRST: element pointers below must stay valid
-        const WF* src_x = (s - x >= 0 && (size_t)(s - x) < wfs.size() && wfs[s - x].present)
-                              ? &wfs[s - x] : nullptr;
-        const WF* src_oe = (s - o - e >= 0 && (size_t)(s - o - e) < wfs.size() &&
-                            wfs[s - o - e].present) ? &wfs[s - o - e] : nullptr;
-        const WF* src_e = (s - e >= 0 && (size_t)(s - e) < wfs.size() && wfs[s - e].present)
-                              ? &wfs[s - e] : nullptr;
-        if (!src_x && !src_oe && !src_e) continue;
+        bool has_x = s - x >= 0 && (size_t)(s - x) < meta.size() && meta[(size_t)(s - x)].width > 0;
+        bool has_oe = s - o - e >= 0 && (size_t)(s - o - e) < meta.size() && meta[(size_t)(s - o - e)].width > 0;
+        bool has_e = s - e >= 0 && (size_t)(s - e) < meta.size() && meta[(size_t)(s - e)].width > 0;
+        if (!has_x && !has_oe && !has_e) { meta.push_back({0, 0, 0}); continue; }
 
         int32_t lo = INT32_MAX, hi = INT32_MIN;
-        auto upd = [&](const WF* w, int32_t dk) {
-            if (!w) return;
-            lo = std::min(lo, w->lo - dk);
-            hi = std::max(hi, w->lo + (int32_t)w->M.size() - 1 + dk);
+        auto upd = [&](int64_t ss, int32_t dk) {
+            const Meta& mt = meta[(size_t)ss];
+            lo = std::min(lo, mt.lo - dk);
+            hi = std::max(hi, mt.lo + mt.width - 1 + dk);
         };
-        upd(src_x, 0); upd(src_oe, 1); upd(src_e, 1);
+        if (has_x) upd(s - x, 0);
+        if (has_oe) upd(s - o - e, 1);
+        if (has_e) upd(s - e, 1);
         int32_t width = hi - lo + 1;
-        WF& wf = wfs[s];
-        wf.present = true;
-        wf.lo = lo;
-        wf.M.assign(width, NEG);
-        wf.I.assign(width, NEG);
-        wf.D.assign(width, NEG);
+        int64_t off = alloc_wf(lo, width);
+        meta.push_back({lo, width, off});
+        int64_t* Mrow = arena.data() + off;
+        int64_t* Irow = Mrow + width;
+        int64_t* Drow = Irow + width;
+
+        // hoist source-row views out of the cell loop
+        struct View { const int64_t* p; int32_t lo; int32_t w; };
+        auto view = [&](int64_t ss, int which) -> View {
+            const Meta& mt = meta[(size_t)ss];
+            return {arena.data() + mt.off + (int64_t)which * mt.width, mt.lo, mt.width};
+        };
+        View vX{nullptr, 0, 0}, vOM{nullptr, 0, 0}, vEI{nullptr, 0, 0}, vED{nullptr, 0, 0};
+        if (has_x) vX = view(s - x, 0);
+        if (has_oe) vOM = view(s - o - e, 0);
+        if (has_e) { vEI = view(s - e, 1); vED = view(s - e, 2); }
+        auto rd = [](const View& v, int32_t k) -> int64_t {
+            int32_t i = k - v.lo;
+            return (v.p && i >= 0 && i < v.w) ? v.p[i] : NEG;
+        };
 
         for (int32_t idx = 0; idx < width; ++idx) {
             int32_t k = lo + idx;
-            // D: consume target, from k-1
-            int64_t d_open = src_oe ? src_oe->getM(k - 1) : NEG;
-            int64_t d_ext = src_e ? src_e->getD(k - 1) : NEG;
+            int64_t d_open = rd(vOM, k - 1);
+            int64_t d_ext = rd(vED, k - 1);
             int64_t D = std::max(d_open, d_ext);
             if (D > NEG) D += 1;
-            // I: consume query, from k+1
-            int64_t i_open = src_oe ? src_oe->getM(k + 1) : NEG;
-            int64_t i_ext = src_e ? src_e->getI(k + 1) : NEG;
+            int64_t i_open = rd(vOM, k + 1);
+            int64_t i_ext = rd(vEI, k + 1);
             int64_t I = std::max(i_open, i_ext);
-            // X
-            int64_t mis = src_x ? src_x->getM(k) : NEG;
+            int64_t mis = rd(vX, k);
             if (mis > NEG) mis += 1;
 
             int64_t M = std::max(std::max(mis, I), D);
@@ -122,36 +148,36 @@ int64_t wfa_align(const uint8_t* q, int64_t n, const uint8_t* t, int64_t m,
             if (!(I > NEG && I <= m && (I - k) >= 0 && (I - k) <= n)) I = NEG;
             if (!(D > NEG && D <= m && (D - k) >= 0 && (D - k) <= n)) D = NEG;
             if (M > NEG) M = extend_match(q, t, n, m, M, k);
-            wf.M[idx] = M;
-            wf.I[idx] = I;
-            wf.D[idx] = D;
+            Mrow[idx] = M;
+            Irow[idx] = I;
+            Drow[idx] = D;
         }
 
         if (adaptive) {
             int32_t cnt = 0;
             int64_t dmin = INT64_MAX;
             for (int32_t idx = 0; idx < width; ++idx) {
-                if (wf.M[idx] > NEG) {
+                if (Mrow[idx] > NEG) {
                     ++cnt;
-                    int64_t f = wf.M[idx];
+                    int64_t f = Mrow[idx];
                     int64_t dist = (m - f) + (n - (f - (lo + idx)));
                     dmin = std::min(dmin, dist);
                 }
             }
             if (cnt >= min_wf_len) {
                 for (int32_t idx = 0; idx < width; ++idx) {
-                    if (wf.M[idx] > NEG) {
-                        int64_t f = wf.M[idx];
+                    if (Mrow[idx] > NEG) {
+                        int64_t f = Mrow[idx];
                         int64_t dist = (m - f) + (n - (f - (lo + idx)));
                         if (dist - dmin > max_dist_diff) {
-                            wf.M[idx] = NEG; wf.I[idx] = NEG; wf.D[idx] = NEG;
+                            Mrow[idx] = NEG; Irow[idx] = NEG; Drow[idx] = NEG;
                         }
                     }
                 }
             }
         }
 
-        if (k_end >= lo && k_end <= hi && wf.M[k_end - lo] >= m) s_final = s;
+        if (k_end >= lo && k_end <= hi && Mrow[k_end - lo] >= m) s_final = s;
     }
     if (s_final < 0) return -1;
 
@@ -168,17 +194,14 @@ int64_t wfa_align(const uint8_t* q, int64_t n, const uint8_t* t, int64_t m,
                 for (int64_t z = 0; z < f; ++z) rev.push_back('M');
                 break;
             }
-            const WF* src_x = (sc - x >= 0 && wfs[sc - x].present) ? &wfs[sc - x] : nullptr;
-            const WF& src_g = wfs[sc];
-            int64_t mis = src_x ? src_x->getM(k) : NEG;
+            int64_t mis = getv(sc - x, 0, k);
             if (mis > NEG) mis += 1;
-            int64_t ins = src_g.getI(k);
-            int64_t del = src_g.getD(k);
+            int64_t ins = getv(sc, 1, k);
+            int64_t del = getv(sc, 2, k);
             int64_t f_pred = std::max(std::max(mis, ins), del);
             if (f_pred <= NEG + 2) return -1;
             for (int64_t z = 0; z < f - f_pred; ++z) rev.push_back('M');
             f = f_pred;
-            // preference: X, D, I  (calibrated; see ops/wfa.py)
             if (mis == f_pred) {
                 rev.push_back('X');
                 sc -= x;
@@ -189,13 +212,9 @@ int64_t wfa_align(const uint8_t* q, int64_t n, const uint8_t* t, int64_t m,
                 state = 'I';
             }
         } else if (state == 'I') {
-            const WF* src_oe = (sc - o - e >= 0 && wfs[sc - o - e].present)
-                                   ? &wfs[sc - o - e] : nullptr;
-            const WF* src_e = (sc - e >= 0 && wfs[sc - e].present) ? &wfs[sc - e] : nullptr;
-            int64_t op_val = src_oe ? src_oe->getM(k + 1) : NEG;
-            int64_t ext_val = src_e ? src_e->getI(k + 1) : NEG;
+            int64_t op_val = getv(sc - o - e, 0, k + 1);
+            int64_t ext_val = getv(sc - e, 1, k + 1);
             rev.push_back('I');
-            // gap-open preferred over extension (calibrated)
             char kind;
             if (op_val == f) kind = 'o';
             else if (ext_val == f) kind = 'e';
@@ -203,12 +222,9 @@ int64_t wfa_align(const uint8_t* q, int64_t n, const uint8_t* t, int64_t m,
             k += 1;
             if (kind == 'e') { sc -= e; }
             else { sc -= o + e; state = 'M'; }
-        } else {  // 'D'
-            const WF* src_oe = (sc - o - e >= 0 && wfs[sc - o - e].present)
-                                   ? &wfs[sc - o - e] : nullptr;
-            const WF* src_e = (sc - e >= 0 && wfs[sc - e].present) ? &wfs[sc - e] : nullptr;
-            int64_t op_val = src_oe ? src_oe->getM(k - 1) : NEG;
-            int64_t ext_val = src_e ? src_e->getD(k - 1) : NEG;
+        } else {
+            int64_t op_val = getv(sc - o - e, 0, k - 1);
+            int64_t ext_val = getv(sc - e, 2, k - 1);
             rev.push_back('D');
             char kind;
             if (op_val == f - 1) kind = 'o';
