@@ -674,6 +674,32 @@ def compare_two_genomes(
 
 
 # --------------------------------------------------------------------------
+# shared-k-mer statistics
+
+# standard-normal quantiles (ref: search-genome-util.go:310-316)
+Z_QUANTILE_95 = 1.645
+Z_QUANTILE_975 = 1.96
+Z_QUANTILE_99 = 2.33
+
+
+def min_shared_kmers_threshold(
+    L: int, k: int, scaled: int, ani: float, z: float = Z_QUANTILE_95
+) -> int:
+    """Recommended MinSharedKmers cutoff under the Mash/sourmash model
+    (iid mutations, sketched shared-count ~ Poisson(mu)):
+        mu = (L - k + 1) * ani^k / scaled;  T = floor(mu - z*sqrt(mu))
+    clamped to [1, 65535] (ref: MinSharedKmersThreshold,
+    search-genome-util.go:318-389)."""
+    import math
+
+    if scaled == 0:
+        scaled = 1
+    mu = (L - k + 1) * (ani**k) / scaled
+    t = math.floor(mu - z * math.sqrt(mu))
+    return max(1, min(t, 0xFFFF))
+
+
+# --------------------------------------------------------------------------
 # genome pair (ref: pair.go)
 
 
