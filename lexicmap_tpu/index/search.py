@@ -786,10 +786,29 @@ class IndexSearcher:
         cpr.index(qcodes)
 
         results: list[GenomeHit] = []
-        for hit, anchors, paths in hits:
-            r = self._align_genome(qcodes, hit, anchors, paths, cpr)
-            if r is not None:
-                results.append(r)
+        import multiprocessing as _mp
+
+        in_pool_worker = _mp.current_process().daemon
+        if len(hits) > 1 and (os.cpu_count() or 1) > 1 and not in_pool_worker:
+            # per-genome alignment fans out over threads: the native WFA /
+            # chaining calls release the GIL (the reference's per-genome
+            # goroutines, ref: lib-index-search.go:2722-2727)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(4, os.cpu_count() or 1)) as ex:
+                futs = [
+                    ex.submit(self._align_genome, qcodes, hit, anchors, paths, cpr)
+                    for hit, anchors, paths in hits
+                ]
+                for f in futs:
+                    r = f.result()
+                    if r is not None:
+                        results.append(r)
+        else:
+            for hit, anchors, paths in hits:
+                r = self._align_genome(qcodes, hit, anchors, paths, cpr)
+                if r is not None:
+                    results.append(r)
 
         if not results:
             return []
