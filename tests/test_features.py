@@ -80,3 +80,34 @@ def test_in_memory_mode(tmp_path):
     r1 = list(format_hit_rows("q", len(q), i1.search_bytes(q)))
     r2 = list(format_hit_rows("q", len(q), i2.search_bytes(q)))
     assert r1 == r2 and r1
+
+
+def test_cross_contig_query_splits_hsps(tmp_path):
+    """A query stitched from the end of contig0 + start of contig1 must
+    produce HSPs assigned to BOTH contigs with in-contig coordinates
+    (exercises the iSeq-switch flush, ref: lib-index-search.go:2113-2158)."""
+    rng = np.random.default_rng(12)
+    c0 = bytes(rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=30000))
+    c1 = bytes(rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=30000))
+    p = tmp_path / "x.fasta"
+    with open(p, "wb") as fh:
+        fh.write(b">ctgA\n" + c0 + b"\n>ctgB\n" + c1 + b"\n")
+    db = str(tmp_path / "x.lmt")
+    build_index(db, [str(p)], BuildOptions(k=31, n_masks=256, chunks=2))
+    idx = IndexSearcher(db, SearchOptions())
+    q = c0[-1500:] + c1[:1500]
+    hits = idx.search_bytes(q)
+    assert hits
+    seq_ids = {sd.seq_id for sd in hits[0].details}
+    assert seq_ids == {b"ctgA", b"ctgB"}
+    for sd in hits[0].details:
+        for c in sd.chains:
+            assert c.pident > 99.0
+            # coordinates are IN-CONTIG (0-based < 30000)
+            assert 0 <= c.tbegin <= c.tend < 30000
+            if sd.seq_id == b"ctgA":
+                assert c.tbegin >= 28000
+            else:
+                assert c.tend <= 2000
+    # the union of the query regions covers nearly everything
+    assert hits[0].aligned_fraction > 95
