@@ -442,6 +442,22 @@ def cmd_utils_seed_pos(args) -> int:
     return 0
 
 
+def cmd_utils_import_index(args) -> int:
+    from .index.convert import import_reference_index
+
+    import_reference_index(args.index, args.out_dir, args.mask_file or None, verbose=True)
+    print(f"imported {args.index} -> {args.out_dir}", file=sys.stderr)
+    return 0
+
+
+def cmd_utils_export_index(args) -> int:
+    from .index.convert import export_reference_index
+
+    export_reference_index(args.index, args.out_dir, verbose=True)
+    print(f"exported {args.index} -> {args.out_dir}", file=sys.stderr)
+    return 0
+
+
 # --------------------------------------------------------------------------
 # format conversions
 
@@ -693,6 +709,21 @@ def register_utils(sub) -> None:
     p.add_argument("-g", "--kv-file-genome", default="")
     p.add_argument("-w", "--line-width", type=int, default=60)
     p.set_defaults(func=cmd_utils_2blast)
+
+    p = usub.add_parser(
+        "import-index", help="convert a reference-format (.lmi) index to native"
+    )
+    p.add_argument("-d", "--index", required=True, help="reference index dir")
+    p.add_argument("-O", "--out-dir", required=True)
+    p.add_argument("-M", "--mask-file", default="", help="masks text file (utils masks export)")
+    p.set_defaults(func=cmd_utils_import_index)
+
+    p = usub.add_parser(
+        "export-index", help="convert a native index to the reference format"
+    )
+    p.add_argument("-d", "--index", required=True, help="native index dir")
+    p.add_argument("-O", "--out-dir", required=True)
+    p.set_defaults(func=cmd_utils_export_index)
 
     p = usub.add_parser("2sam", help="search TSV -> SAM")
     p.add_argument("files", nargs="*")
