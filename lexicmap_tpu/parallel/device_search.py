@@ -58,6 +58,42 @@ class DeviceSeedMatcher:
                 self.entry_base[mi] = off[mi - rdr.mask_begin]
                 self.chunk_of_mask[mi] = ci
 
+    def match_batch(self, query_kmers_batch: np.ndarray, min_prefix: int):
+        """Batched variant: query_kmers_batch [B, M] -> per-query results of
+        match() from ONE vmapped kernel launch (dispatch amortized across the
+        batch — important through high-latency device transports)."""
+        import jax
+        import jax.numpy as jnp
+
+        B = query_kmers_batch.shape[0]
+        qh = np.full((B, self.m_pad), PAD_HI, dtype=np.uint32)
+        ql = np.full((B, self.m_pad), PAD_HI, dtype=np.uint32)
+        for b in range(B):
+            kk = query_kmers_batch[b]
+            sel = kk != 0
+            h, l = split_kmers_hi_lo(kk[sel], self.k)
+            idxs = np.nonzero(sel)[0]
+            qh[b, idxs] = h
+            ql[b, idxs] = l
+
+        from .pallas_kernels import seed_match_pallas
+
+        fn = jax.vmap(
+            lambda a, b2: seed_match_pallas(
+                self.d_hi, self.d_lo, a, b2,
+                p=min_prefix, k=self.k, tile_m=self.tile_m,
+                interpret=self.interpret,
+            )
+        )
+        nh, e0, _ = fn(jnp.asarray(qh), jnp.asarray(ql))
+        nh = np.asarray(nh)[:, : self.m]
+        e0 = np.asarray(e0)[:, : self.m]
+        out = []
+        for b in range(B):
+            hit = np.nonzero(nh[b] > 0)[0]
+            out.append((hit, e0[b][hit], nh[b][hit]))
+        return out
+
     def match(self, query_kmers: np.ndarray, min_prefix: int):
         """Returns (mask_idx, entry_idx_within_mask_range) pairs for all
         matched entries, like the host searchsorted path."""

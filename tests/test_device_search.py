@@ -50,3 +50,46 @@ def test_device_engine_matches_host(db):
         r_dev = dev.search_bytes(q)
         assert rows_of(r_host) == rows_of(r_dev), name
         assert r_host and r_host[0].genome_id.decode() == name
+
+
+def test_match_batch_equals_match(db):
+    out, seqs = db
+    import numpy as np
+
+    dev = IndexSearcher(out, SearchOptions(engine="device"))
+    from lexicmap_tpu.utils.kmers import seq_to_codes
+
+    kk = []
+    for name in ["D0", "D1"]:
+        kmers, _ = dev._mask_query(seq_to_codes(seqs[name][5000:6500]))
+        kk.append(kmers)
+    batch = np.stack(kk)
+    batched = dev.device_matcher.match_batch(batch, 15)
+    for b, kmers in enumerate(kk):
+        hm, he0, hnh = dev.device_matcher.match(kmers, 15)
+        bm, be0, bnh = batched[b]
+        assert hm.tolist() == bm.tolist()
+        assert he0.tolist() == be0.tolist()
+        assert hnh.tolist() == bnh.tolist()
+
+
+def test_mask_capture_scores_kernel(db):
+    """Device capture descent equals the host XOR-argmin winners."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from lexicmap_tpu.parallel.kernels import mask_capture_scores
+
+    out, seqs = db
+    idx = IndexSearcher(out, SearchOptions())
+    from lexicmap_tpu.ops.masking import candidate_kmers
+    from lexicmap_tpu.utils.kmers import seq_to_codes
+
+    codes = seq_to_codes(seqs["D2"][:4000])
+    allk, _ = candidate_kmers(codes, idx.k)
+    sk = np.sort(allk)
+    got = np.asarray(mask_capture_scores(jnp.asarray(sk), jnp.asarray(idx.mask_set.masks), k=idx.k))
+    # host winners
+    for mi in range(0, idx.mask_set.m, 37):
+        xs = sk ^ idx.mask_set.masks[mi]
+        assert got[mi] == sk[np.argmin(xs)]
