@@ -24,6 +24,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+from ..utils.arrays import ranges_to_indices as _ranges_to_indices
+
 from ..constants import (
     BITS_GENOME_IDX,
     BITS_IDX,
@@ -923,14 +925,3 @@ def _sort_by_seq_id(sds: list[SeqDetail]) -> list[SeqDetail]:
         out.extend(seen[sid])
     return out
 
-
-def _ranges_to_indices(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
-    counts = (hi - lo).astype(np.int64)
-    total = int(counts.sum())
-    if total == 0:
-        return np.empty(0, dtype=np.int64)
-    out_off = np.zeros(lo.shape[0] + 1, dtype=np.int64)
-    np.cumsum(counts, out=out_off[1:])
-    idx = np.arange(total, dtype=np.int64)
-    seg = np.searchsorted(out_off[1:], idx, side="right")
-    return lo[seg].astype(np.int64) + (idx - out_off[seg])

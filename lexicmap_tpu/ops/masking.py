@@ -27,6 +27,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from ..utils.arrays import ranges_to_indices as _ranges_to_indices
+
 from ..masks import MaskSet
 from ..utils.kmers import kmer_lcp, kmers_fwd_rc
 
@@ -181,18 +183,6 @@ def _xor_argmin_ranges(sorted_kmers: np.ndarray, masks: np.ndarray, k: int):
         prefix = np.where(go1, prefix | b, prefix)
     return lo, hi
 
-
-def _ranges_to_indices(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
-    """Concatenate ranges [lo_i, hi_i) into one index array."""
-    counts = hi - lo
-    total = int(counts.sum())
-    if total == 0:
-        return np.empty(0, dtype=np.int64)
-    out_off = np.zeros(lo.shape[0] + 1, dtype=np.int64)
-    np.cumsum(counts, out=out_off[1:])
-    idx = np.arange(total, dtype=np.int64)
-    seg = np.searchsorted(out_off[1:], idx, side="right")
-    return lo[seg] + (idx - out_off[seg])
 
 
 def _sort_segments(vals: np.ndarray, offsets: np.ndarray) -> np.ndarray:

@@ -14,6 +14,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+from ..utils.arrays import ranges_to_indices as _ranges_to_indices
+
 from ..utils.kmers import homopolymer_codes, is_low_complexity_dust, kmer_lcp, kmers_fwd_rc
 from .chaining import Anchors, clear_substr_pairs, trim_substr_pairs
 from .chaining2 import Chain2Result, Chaining2Options, chain2
@@ -221,14 +223,3 @@ class SeqComparator:
         r.chains = chains
         return r
 
-
-def _ranges_to_indices(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
-    counts = (hi - lo).astype(np.int64)
-    total = int(counts.sum())
-    if total == 0:
-        return np.empty(0, dtype=np.int64)
-    out_off = np.zeros(lo.shape[0] + 1, dtype=np.int64)
-    np.cumsum(counts, out=out_off[1:])
-    idx = np.arange(total, dtype=np.int64)
-    seg = np.searchsorted(out_off[1:], idx, side="right")
-    return lo[seg] + (idx - out_off[seg])
