@@ -571,63 +571,92 @@ def gsearch_align(
     cpr_opt = opt.seqcompare_options()
     c2opt = opt.chaining2_options()
 
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+
+    n_workers = min(4, _os.cpu_count() or 1)
+    if n_workers > 1 and len(groups) > 1:
+        # candidate genomes align in threads (native kernels release the GIL;
+        # the reference's per-subject goroutines, ref: genome3.go:749-937)
+        with ThreadPoolExecutor(max_workers=n_workers) as ex:
+            futs = [
+                ex.submit(
+                    _align_one_group, idx, qfrags, sampled, qfrag_total,
+                    codes, screen_score, cpr_opt, c2opt, opt,
+                )
+                for codes, screen_score in groups
+            ]
+            results = [r for f in futs if (r := f.result()) is not None]
+        results.sort(key=lambda r: (-r.ani, -r.af_q, -r.af_s, r.batch_genome_index))
+        return results
+
     results = []
     for codes, screen_score in groups:
-        # read subject contigs (possibly multiple genome chunks)
-        contigs: list[np.ndarray] = []
-        genome_size = 0
-        num_seqs = 0
-        for code in codes:
-            b = code >> BITS_GENOME_IDX
-            gi = code & MASK_GENOME_IDX
-            st = idx.genome_stores[b]
-            sizes = st.seq_sizes(gi)
-            pos = 0
-            for s in sizes:
-                contigs.append(st.subseq_codes(gi, pos, pos + s - 1))
-                pos += s + idx.contig_interval
-            genome_size += int(st.gsizes[gi])
-            num_seqs += len(sizes)
-        if (
-            opt.max_subject_genome_size > 0
-            and genome_size > opt.max_subject_genome_size
-        ):
-            continue
-
-        concat, skip_excl, bounds, fwd_len, rc_start = _build_subject_concat(
-            contigs, opt.frag_size
+        r = _align_one_group(
+            idx, qfrags, sampled, qfrag_total, codes, screen_score,
+            cpr_opt, c2opt, opt,
         )
-        sketch = SubjectSketch(concat, skip_excl, bounds, fwd_len, rc_start, opt.kmer_scale)
-
-        gr = GSearchResult(
-            batch_genome_index=codes[0],
-            genome_id=idx.id_of_code.get(codes[0], b"?"),
-            genome_size=genome_size,
-            num_seqs=num_seqs,
-            screen_score=screen_score,
-        )
-        pidents = []
-        for frag, (qk, qp) in zip(qfrags, sampled):
-            r = _align_fragment(
-                frag, qk, qp, sketch, concat, cpr_opt, c2opt, opt,
-                genome_size, opt.top_n_chains,
-            )
-            if r is None:
-                continue
-            matched, aligned, gaps, pident = r
-            gr.aligned_fragments += 1
-            gr.aligned_length += aligned - gaps
-            gr.aligned_matches += matched
-            pidents.append(pident)
-        if pidents:
-            gr.ani = sum(pidents) / len(pidents) / 100
-        gr.af_q = min(gr.aligned_length / qfrag_total, 1.0) if qfrag_total else 0.0
-        gr.af_s = min(gr.aligned_length / genome_size, 1.0) if genome_size else 0.0
-        if gr.af_q * 100 >= opt.min_af:
-            results.append(gr)
-
+        if r is not None:
+            results.append(r)
     results.sort(key=lambda r: (-r.ani, -r.af_q, -r.af_s, r.batch_genome_index))
     return results
+
+
+def _align_one_group(idx, qfrags, sampled, qfrag_total, codes, screen_score,
+                     cpr_opt, c2opt, opt):
+    # read subject contigs (possibly multiple genome chunks)
+    contigs: list[np.ndarray] = []
+    genome_size = 0
+    num_seqs = 0
+    for code in codes:
+        b = code >> BITS_GENOME_IDX
+        gi = code & MASK_GENOME_IDX
+        st = idx.genome_stores[b]
+        sizes = st.seq_sizes(gi)
+        pos = 0
+        for s in sizes:
+            contigs.append(st.subseq_codes(gi, pos, pos + s - 1))
+            pos += s + idx.contig_interval
+        genome_size += int(st.gsizes[gi])
+        num_seqs += len(sizes)
+    if (
+        opt.max_subject_genome_size > 0
+        and genome_size > opt.max_subject_genome_size
+    ):
+        return None
+
+    concat, skip_excl, bounds, fwd_len, rc_start = _build_subject_concat(
+        contigs, opt.frag_size
+    )
+    sketch = SubjectSketch(concat, skip_excl, bounds, fwd_len, rc_start, opt.kmer_scale)
+
+    gr = GSearchResult(
+        batch_genome_index=codes[0],
+        genome_id=idx.id_of_code.get(codes[0], b"?"),
+        genome_size=genome_size,
+        num_seqs=num_seqs,
+        screen_score=screen_score,
+    )
+    pidents = []
+    for frag, (qk, qp) in zip(qfrags, sampled):
+        r = _align_fragment(
+            frag, qk, qp, sketch, concat, cpr_opt, c2opt, opt,
+            genome_size, opt.top_n_chains,
+        )
+        if r is None:
+            continue
+        matched, aligned, gaps, pident = r
+        gr.aligned_fragments += 1
+        gr.aligned_length += aligned - gaps
+        gr.aligned_matches += matched
+        pidents.append(pident)
+    if pidents:
+        gr.ani = sum(pidents) / len(pidents) / 100
+    gr.af_q = min(gr.aligned_length / qfrag_total, 1.0) if qfrag_total else 0.0
+    gr.af_s = min(gr.aligned_length / genome_size, 1.0) if genome_size else 0.0
+    if gr.af_q * 100 >= opt.min_af:
+        return gr
+    return None
 
 
 def compare_two_genomes(
