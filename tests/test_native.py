@@ -166,3 +166,44 @@ def test_chain3_native_matches_python():
             assert not ok
         else:
             assert ok and qt == res_py, f"trial {trial}"
+
+
+def test_pure_python_cli_matches_native(tmp_path):
+    """Full-system equivalence: CLI search with LEXICMAP_TPU_NO_NATIVE=1
+    must produce the identical TSV."""
+    import subprocess
+    import sys
+
+    rng = np.random.default_rng(17)
+    seq = bytes(rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=40000))
+    ref = tmp_path / "g.fasta"
+    with open(ref, "wb") as fh:
+        fh.write(b">c0\n" + seq + b"\n")
+    q = bytearray(seq[8000:9500])
+    for _ in range(25):
+        p = int(rng.integers(0, len(q)))
+        q[p] = ord("ACGT"[int(rng.integers(0, 4))])
+    qf = tmp_path / "q.fasta"
+    with open(qf, "wb") as fh:
+        fh.write(b">q\n" + bytes(q) + b"\n")
+    db = str(tmp_path / "db.lmt")
+    from lexicmap_tpu.index.build import BuildOptions, build_index
+
+    build_index(db, [str(ref)], BuildOptions(k=31, n_masks=256, chunks=2))
+
+    repo = os.path.dirname(os.path.dirname(__file__))
+
+    def run(env_extra):
+        env = dict(os.environ, **env_extra)
+        res = subprocess.run(
+            [sys.executable, "-m", "lexicmap_tpu.cli", "search", "-d", db,
+             str(qf), "-o", "-"],
+            capture_output=True, text=True, cwd=repo, env=env,
+        )
+        assert res.returncode == 0, res.stderr
+        return res.stdout
+
+    native = run({})
+    python = run({"LEXICMAP_TPU_NO_NATIVE": "1"})
+    assert native == python
+    assert len(native.strip().split("\n")) >= 2
