@@ -167,6 +167,7 @@ def cmd_search(args) -> int:
         in_memory=args.load_whole_seeds,
         output_seq=args.all,
         engine=args.engine,
+        debug=args.debug,
         taxdump_dir=args.taxdump or None,
         genome2taxid_file=args.genome2taxid or None,
         taxids=taxids,
@@ -291,6 +292,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--engine", choices=["host", "device"], default="host",
         help="seed-matching engine: host bisection or the Pallas TPU kernel",
     )
+    ps.add_argument("--debug", action="store_true", help="per-phase timings")
     ps.add_argument("-J", "--max-query-conc", type=int, default=1)
     ps.add_argument("--quiet", action="store_true")
     ps.add_argument("-p", "--seed-min-prefix", type=int, default=SearchDefaults.MIN_PREFIX)

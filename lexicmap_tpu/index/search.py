@@ -89,6 +89,7 @@ class SearchOptions:
     in_memory: bool = False
     output_seq: bool = False  # -a/--all
     engine: str = "host"  # "host" | "device" (Pallas seed matching)
+    debug: bool = False  # per-phase timings to stderr (ref: --debug logs)
 
     # TaxId filtering (ref: lib-index-search.go:93-98, search.go:232-239)
     taxdump_dir: str | None = None
@@ -775,12 +776,31 @@ class IndexSearcher:
         self, qcodes: np.ndarray, genome_codes: set[int] | None = None
     ) -> list[GenomeHit]:
         """Full pipeline for one query (already encoded to 2-bit codes)."""
+        import sys
+        import time
+
+        debug = self.opt.debug
+        t0 = time.time()
         if qcodes.shape[0] < self.k:
             return []
         per_genome = self._collect_anchors(qcodes, genome_codes)
+        if debug:
+            print(
+                f"  [debug] seed matching: {len(per_genome)} genome hits "
+                f"in {time.time() - t0:.3f}s",
+                file=sys.stderr,
+            )
+            t0 = time.time()
         if not per_genome:
             return []
         hits = self._chain_genomes(per_genome)
+        if debug:
+            print(
+                f"  [debug] chaining: {len(hits)} genomes kept "
+                f"in {time.time() - t0:.3f}s",
+                file=sys.stderr,
+            )
+            t0 = time.time()
         if not hits:
             return []
 
@@ -812,6 +832,12 @@ class IndexSearcher:
                 if r is not None:
                     results.append(r)
 
+        if debug:
+            print(
+                f"  [debug] alignment: {len(results)} genomes with HSPs "
+                f"in {time.time() - t0:.3f}s",
+                file=sys.stderr,
+            )
         if not results:
             return []
 
