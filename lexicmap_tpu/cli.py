@@ -183,8 +183,13 @@ def cmd_search(args) -> int:
     header = TSV_HEADER + ("\tcigar\tqseq\tsseq\talign" if args.all else "")
     out.write(header.encode() + b"\n")
 
+    qfiles = list(args.files)
+    if args.infile_list:
+        with open(args.infile_list) as fh:
+            qfiles.extend(x.strip() for x in fh if x.strip())
+
     def iter_queries():
-        for path in args.files or ["-"]:
+        for path in qfiles or ["-"]:
             fh = sys.stdin.buffer if path == "-" else path
             yield from read_fastx(fh)
 
@@ -284,6 +289,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     ps = sub.add_parser("search", help="search query sequences against an index")
     ps.add_argument("files", nargs="*", help="query FASTA/Q files")
+    ps.add_argument("-X", "--infile-list", default="")
     ps.add_argument("-d", "--index", required=True)
     ps.add_argument("-o", "--out-file", default="-")
     ps.add_argument("-a", "--all", action="store_true")

@@ -270,7 +270,25 @@ class IndexSearcher:
     # phase 1+2: masking + seed matching
 
     def _mask_query(self, qcodes: np.ndarray):
-        res = capture(self.mask_set, qcodes, None, check_shorter_prefix=True)
+        from ..native import capture_native_call
+        from ..ops.masking import CaptureResult
+        from ..utils.kmers import kmers_fwd_rc as _kfr
+
+        fwd, rc = _kfr(qcodes, self.k)
+        native = capture_native_call(
+            fwd, rc, None, self.mask_set.masks, self.k,
+            self.mask_set.prefix_len, True,
+        )
+        if native is not None:
+            kmers_out, counts, pos_flat = native
+            offsets = np.zeros(self.mask_set.m + 1, dtype=np.int64)
+            np.cumsum(counts, out=offsets[1:])
+            res = CaptureResult(kmers=kmers_out, pos_flat=pos_flat, pos_offsets=offsets)
+        else:
+            res = capture(
+                self.mask_set, qcodes, None, check_shorter_prefix=True,
+                precomputed=(fwd, rc),
+            )
         kmers = res.kmers.copy()
         bad = (
             (kmers == self._ccc)

@@ -93,6 +93,12 @@ def get_lib():
         ctypes.c_double, ctypes.c_int32, ctypes.c_double,
         i64p, f64p, ctypes.c_int64, i64p,
     ]
+    lib.xor_argmin_batch.restype = None
+    lib.xor_argmin_batch.argtypes = [
+        u64p, ctypes.c_int64, u64p, ctypes.c_int64, ctypes.c_int32, i64p,
+    ]
+    lib.dust_batch.restype = None
+    lib.dust_batch.argtypes = [u64p, ctypes.c_int64, ctypes.c_int32, i8p]
     lib.compare_probe.restype = ctypes.c_int64
     lib.compare_probe.argtypes = [
         u64p, u32p, ctypes.c_int64,
@@ -260,6 +266,29 @@ def fill_deserts_native_call(
             cap *= 4
             continue
         return [(int(om[i]), int(ok[i]), int(ol[i])) for i in range(w)]
+
+
+def xor_argmin_batch_native(sorted_vals, queries, bits):
+    lib = get_lib()
+    if lib is None:
+        return None
+    nq = int(queries.shape[0])
+    out = np.empty(nq, dtype=np.int64)
+    lib.xor_argmin_batch(
+        np.ascontiguousarray(sorted_vals, dtype=np.uint64), int(sorted_vals.shape[0]),
+        np.ascontiguousarray(queries, dtype=np.uint64), nq, int(bits), out,
+    )
+    return out
+
+
+def dust_batch_native(kmers, k):
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = int(kmers.shape[0])
+    out = np.empty(n, dtype=np.uint8)
+    lib.dust_batch(np.ascontiguousarray(kmers, dtype=np.uint64), n, int(k), out)
+    return out.astype(bool)
 
 
 def chain2_backtrack_native(qb, tb, ln, scores, prev, min_score, min_align_len, heur):

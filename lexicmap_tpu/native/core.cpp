@@ -879,3 +879,28 @@ int64_t compare_probe(const uint64_t* qk, const uint32_t* qv, int64_t nq,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batch helpers for the query path
+
+extern "C" {
+
+// nearest mask per query k-mer: index minimizing (mask XOR kmer)
+// (mirrors masks.py xor_argmin_sorted)
+void xor_argmin_batch(const uint64_t* sorted_vals, int64_t n,
+                      const uint64_t* queries, int64_t nq, int32_t bits,
+                      int64_t* out_idx) {
+    for (int64_t i = 0; i < nq; ++i) {
+        int64_t lo, hi;
+        xor_argmin_range(sorted_vals, n, queries[i], bits, &lo, &hi);
+        out_idx[i] = lo;
+    }
+}
+
+// DUST low-complexity flags for a batch of k-mers
+// (mirrors utils/kmers.py is_low_complexity_dust)
+void dust_batch(const uint64_t* kmers, int64_t n, int32_t k, uint8_t* out) {
+    for (int64_t i = 0; i < n; ++i) out[i] = dust_scalar(kmers[i], k) ? 1 : 0;
+}
+
+}  // extern "C"

@@ -199,6 +199,14 @@ def dust_scores(kmers: np.ndarray, k: int) -> np.ndarray:
 
 def is_low_complexity_dust(kmers: np.ndarray, k: int) -> np.ndarray:
     """score > 50 (ref: util/kmers.go:328)."""
+    try:
+        from ..native import dust_batch_native
+
+        native = dust_batch_native(np.asarray(kmers, dtype=np.uint64), k)
+        if native is not None:
+            return native
+    except ImportError:  # pragma: no cover
+        pass
     return dust_scores(kmers, k) > 50
 
 
