@@ -107,6 +107,15 @@ def get_lib():
         ctypes.c_int64, ctypes.c_int64,
         i64p, i64p, i64p, i8p, ctypes.c_int64,
     ]
+    lib.compare_probe_codes.restype = ctypes.c_int64
+    lib.compare_probe_codes.argtypes = [
+        u64p, u32p, ctypes.c_int64,
+        i8p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int64, ctypes.c_int64,
+        i64p, i64p, i64p, i8p, ctypes.c_int64,
+    ]
     lib.capture_native.restype = ctypes.c_int64
     lib.capture_native.argtypes = [
         u64p, u64p, ctypes.c_int64, ctypes.c_void_p, u64p, ctypes.c_int64,
@@ -332,6 +341,37 @@ def compare_probe_native(qk, qv, tf, tr, valid, mprefix, k, begin, end):
         arc = np.empty(cap, dtype=np.uint8)
         w = lib.compare_probe(
             qk, qv, int(qk.shape[0]), tf, tr, nt, valid,
+            int(mprefix), int(k), int(begin), int(end), aq, at, al, arc, cap,
+        )
+        if w == -1:
+            cap *= 4
+            continue
+        return aq[:w], at[:w], al[:w], arc[:w].astype(bool)
+
+
+def compare_probe_codes_native(qk, qv, tcodes, mprefix, k, begin, end, qtab=None, bbits=0):
+    """compare_probe from raw 2-bit target codes: rolling k-mer extraction +
+    homopolymer filter run inside C.  qtab is an optional bucket table over
+    qk's top `bbits` bits.  Returns (aq, at, al, arc) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    L = int(tcodes.shape[0])
+    cap = max(8 * max(L - int(k) + 1, 1), 4096)
+    qk = np.ascontiguousarray(qk, dtype=np.uint64)
+    qv = np.ascontiguousarray(qv, dtype=np.uint32)
+    tcodes = np.ascontiguousarray(tcodes, dtype=np.uint8)
+    tab_ptr = 0
+    if qtab is not None:
+        qtab = np.ascontiguousarray(qtab, dtype=np.uint32)
+        tab_ptr = qtab.ctypes.data
+    while True:
+        aq = np.empty(cap, dtype=np.int64)
+        at = np.empty(cap, dtype=np.int64)
+        al = np.empty(cap, dtype=np.int64)
+        arc = np.empty(cap, dtype=np.uint8)
+        w = lib.compare_probe_codes(
+            qk, qv, int(qk.shape[0]), tcodes, L, tab_ptr, int(bbits),
             int(mprefix), int(k), int(begin), int(end), aq, at, al, arc, cap,
         )
         if w == -1:

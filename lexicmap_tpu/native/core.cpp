@@ -61,8 +61,12 @@ int64_t wfa_align(const uint8_t* q, int64_t n, const uint8_t* t, int64_t m,
     int64_t max_score =
         (int64_t)x * std::max(n, m) + 2 * ((int64_t)o + (int64_t)e * std::max(n, m)) + 10;
 
-    // flat arena: per score (lo, width, offset); M/I/D rows contiguous
-    struct Meta { int32_t lo; int32_t width; int64_t off; };
+    // flat arena: per score (lo, width, offset); M/I/D rows contiguous.
+    // tlo..thi (inclusive) are the EFFECTIVE bounds after adaptive pruning /
+    // edge trimming: successor spans are computed from these so the wavefront
+    // width tracks the surviving diagonals (O(s*width) instead of O(s^2));
+    // storage keeps the full [lo, lo+width) row, with NEG outside tlo..thi.
+    struct Meta { int32_t lo; int32_t width; int64_t off; int32_t tlo; int32_t thi; };
     std::vector<Meta> meta;
     meta.reserve(1024);
     std::vector<int64_t> arena;
@@ -83,7 +87,7 @@ int64_t wfa_align(const uint8_t* q, int64_t n, const uint8_t* t, int64_t m,
     };
 
     {
-        meta.push_back({0, 1, 0});
+        meta.push_back({0, 1, 0, 0, 0});
         int64_t off = alloc_wf(0, 1);
         arena[(size_t)off] = extend_match(q, t, n, m, 0, 0);  // M
     }
@@ -94,23 +98,27 @@ int64_t wfa_align(const uint8_t* q, int64_t n, const uint8_t* t, int64_t m,
     int64_t s = 0;
     while (s_final < 0 && s < max_score) {
         ++s;
-        bool has_x = s - x >= 0 && (size_t)(s - x) < meta.size() && meta[(size_t)(s - x)].width > 0;
-        bool has_oe = s - o - e >= 0 && (size_t)(s - o - e) < meta.size() && meta[(size_t)(s - o - e)].width > 0;
-        bool has_e = s - e >= 0 && (size_t)(s - e) < meta.size() && meta[(size_t)(s - e)].width > 0;
-        if (!has_x && !has_oe && !has_e) { meta.push_back({0, 0, 0}); continue; }
+        auto live = [&](int64_t ss) {
+            return ss >= 0 && (size_t)ss < meta.size() && meta[(size_t)ss].width > 0 &&
+                   meta[(size_t)ss].thi >= meta[(size_t)ss].tlo;
+        };
+        bool has_x = live(s - x);
+        bool has_oe = live(s - o - e);
+        bool has_e = live(s - e);
+        if (!has_x && !has_oe && !has_e) { meta.push_back({0, 0, 0, 0, -1}); continue; }
 
         int32_t lo = INT32_MAX, hi = INT32_MIN;
         auto upd = [&](int64_t ss, int32_t dk) {
             const Meta& mt = meta[(size_t)ss];
-            lo = std::min(lo, mt.lo - dk);
-            hi = std::max(hi, mt.lo + mt.width - 1 + dk);
+            lo = std::min(lo, mt.tlo - dk);
+            hi = std::max(hi, mt.thi + dk);
         };
         if (has_x) upd(s - x, 0);
         if (has_oe) upd(s - o - e, 1);
         if (has_e) upd(s - e, 1);
         int32_t width = hi - lo + 1;
         int64_t off = alloc_wf(lo, width);
-        meta.push_back({lo, width, off});
+        meta.push_back({lo, width, off, lo, hi});
         int64_t* Mrow = arena.data() + off;
         int64_t* Irow = Mrow + width;
         int64_t* Drow = Irow + width;
@@ -175,6 +183,15 @@ int64_t wfa_align(const uint8_t* q, int64_t n, const uint8_t* t, int64_t m,
                     }
                 }
             }
+        }
+
+        // trim NEG edges so successor spans follow the surviving diagonals
+        {
+            int32_t t0 = 0, t1 = width - 1;
+            while (t0 < width && Mrow[t0] == NEG && Irow[t0] == NEG && Drow[t0] == NEG) ++t0;
+            while (t1 >= t0 && Mrow[t1] == NEG && Irow[t1] == NEG && Drow[t1] == NEG) --t1;
+            meta.back().tlo = lo + t0;
+            meta.back().thi = lo + t1;  // thi < tlo => dead wavefront
         }
 
         if (k_end >= lo && k_end <= hi && Mrow[k_end - lo] >= m) s_final = s;
@@ -858,6 +875,83 @@ int64_t compare_probe(const uint64_t* qk, const uint32_t* qv, int64_t nq,
                 int lcp;
                 if (x == 0) lcp = k;
                 else lcp = (64 - (64 - __builtin_clzll(x))) / 2 + (k - 32);
+                uint32_t v = qv[j];
+                if (strand == 0) {
+                    if (v & 1) continue;
+                    int64_t p = v >> 1;
+                    if (p < begin || p + lcp > end) continue;
+                    if (w >= cap) return -1;
+                    aq[w] = p; at[w] = i; al[w] = lcp; arc[w] = 0; ++w;
+                } else {
+                    if (!(v & 1)) continue;
+                    int64_t p = (int64_t)(v >> 1) + k - lcp;
+                    if (p + lcp < begin || p > end) continue;
+                    if (w >= cap) return -1;
+                    aq[w] = p; at[w] = i + k - lcp; al[w] = lcp; arc[w] = 1; ++w;
+                }
+            }
+        }
+    }
+    return w;
+}
+
+// Same probe, but from raw 2-bit target codes: the k-mer extraction
+// (ops/seqcompare.py Compare's kmers_fwd_rc) and the homopolymer validity
+// check run inline as a rolling window, saving the tf/tr/valid round-trip
+// through numpy (ref: lib-seq_compare.go:335-401).
+// qtab: optional 16-bit-prefix bucket table over qk (size 2^bbits + 1,
+// qtab[b] = first index whose top bbits equal/exceed b).  Valid because the
+// probe range [t&~suf, t|suf] shares its top 2*mprefix >= bbits bits, so all
+// candidates live in one bucket; empty buckets skip the search entirely.
+int64_t compare_probe_codes(const uint64_t* qk, const uint32_t* qv, int64_t nq,
+                            const uint8_t* tcodes, int64_t L,
+                            const uint32_t* qtab, int32_t bbits,
+                            int32_t mprefix, int32_t k,
+                            int64_t begin, int64_t end,
+                            int64_t* aq, int64_t* at, int64_t* al, uint8_t* arc,
+                            int64_t cap) {
+    if (L < k || nq == 0) return 0;
+    const uint64_t kmask = (k >= 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+    uint64_t ccc = 0, ggg = 0, ttt = 0;
+    for (int32_t z = 0; z < k; ++z) { ccc = (ccc << 2) | 1; ggg = (ggg << 2) | 2; ttt = (ttt << 2) | 3; }
+    const uint64_t suf = ((1ULL << (2 * (k - mprefix))) - 1);
+    const int32_t rcshift = 2 * (k - 1);
+    const bool use_tab = qtab != nullptr && bbits > 0 && 2 * mprefix >= bbits &&
+                         2 * k > bbits;
+    const int32_t tabshift = 2 * k - bbits;
+    uint64_t fwd = 0, rc = 0;
+    for (int64_t i = 0; i < k - 1; ++i) {
+        uint64_t c = tcodes[i];
+        fwd = ((fwd << 2) | c) & kmask;
+        rc = (rc >> 2) | ((3ULL - c) << rcshift);
+    }
+    int64_t w = 0;
+    for (int64_t i0 = k - 1; i0 < L; ++i0) {
+        uint64_t c = tcodes[i0];
+        fwd = ((fwd << 2) | c) & kmask;
+        rc = (rc >> 2) | ((3ULL - c) << rcshift);
+        if (fwd == 0 || fwd == ccc || fwd == ggg || fwd == ttt) continue;
+        int64_t i = i0 - (k - 1);  // k-mer start in the target
+        for (int strand = 0; strand < 2; ++strand) {
+            uint64_t t = strand == 0 ? fwd : rc;
+            uint64_t lb = t & ~suf;
+            uint64_t rb = t | suf;
+            int64_t lo, jhi;
+            if (use_tab) {
+                uint64_t b = t >> tabshift;
+                int64_t blo = qtab[b], bhi = qtab[b + 1];
+                if (blo >= bhi) continue;
+                lo = std::lower_bound(qk + blo, qk + bhi, lb) - qk;
+                jhi = bhi;
+            } else {
+                lo = std::lower_bound(qk, qk + nq, lb) - qk;
+                jhi = nq;
+            }
+            for (int64_t j = lo; j < jhi && qk[j] <= rb; ++j) {
+                uint64_t x = t ^ qk[j];
+                int lcp;
+                if (x == 0) lcp = k;
+                else lcp = __builtin_clzll(x) / 2 + (k - 32);
                 uint32_t v = qv[j];
                 if (strand == 0) {
                     if (v & 1) continue;

@@ -112,6 +112,13 @@ class SeqComparator:
         order = np.argsort(kk, kind="stable")
         self.qk = kk[order]
         self.qv = vv[order]
+        # bucket table over the top 16 bits for the native probe: valid for
+        # any min_prefix >= 8 (the probe range shares its top 2m bits)
+        self.qtab_bits = min(16, 2 * k - 2)
+        pref = self.qk >> np.uint64(2 * k - self.qtab_bits)
+        self.qtab = np.searchsorted(
+            pref, np.arange((1 << self.qtab_bits) + 1, dtype=np.uint64)
+        ).astype(np.uint32)
 
     def compare(
         self, begin: int, end: int, tcodes: np.ndarray, query_len: int
@@ -130,17 +137,31 @@ class SeqComparator:
         elif L >= 10_000:
             m += 2
 
+        if L < k or self.qk is None or self.qk.shape[0] == 0:
+            return None
+
+        from ..native import compare_probe_codes_native, compare_probe_native
+
+        native = compare_probe_codes_native(
+            self.qk, self.qv, tcodes, m, k, begin, end,
+            qtab=getattr(self, "qtab", None), bbits=getattr(self, "qtab_bits", 0),
+        )
+        if native is not None:
+            aq, at, al, arc = native
+            if aq.shape[0] < 1:
+                return None
+            anchors = Anchors(aq, at, al, arc, arc)
+            return self._finish_compare(anchors, query_len)
+
         tf, tr = kmers_fwd_rc(tcodes, k)
         nt = tf.shape[0]
-        if nt == 0 or self.qk is None or self.qk.shape[0] == 0:
+        if nt == 0:
             return None
 
         valid = (tf != 0) & (tf != self.ccc) & (tf != self.ggg) & (tf != self.ttt)
         tpos = np.nonzero(valid)[0]
         if tpos.shape[0] == 0:
             return None
-
-        from ..native import compare_probe_native
 
         native = compare_probe_native(
             self.qk, self.qv, tf, tr, valid, m, k, begin, end
