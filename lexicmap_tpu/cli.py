@@ -254,8 +254,17 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native LexicMap-class sequence alignment engine",
     )
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--log", default="", metavar="FILE",
+                   help="also write log messages (stderr) to FILE (ref: root.go:60-73)")
     p.add_argument("--version", action="version", version=f"lexicmap-tpu {__version__}")
     sub = p.add_subparsers(dest="cmd", required=True)
+
+    pa = sub.add_parser(
+        "autocompletion",
+        help="print a shell completion script (ref: autocomplete.go)",
+    )
+    pa.add_argument("--shell", default="bash", choices=["bash", "zsh", "fish"])
+    pa.set_defaults(func=cmd_autocompletion)
 
     pi = sub.add_parser("index", help="build an index from genome files")
     pi.add_argument("files", nargs="*", help="input FASTA/Q files")
@@ -348,8 +357,105 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+class _TeeStream:
+    """Duplicate writes to a second stream (for --log FILE)."""
+
+    def __init__(self, primary, secondary):
+        self._a = primary
+        self._b = secondary
+
+    def write(self, s):
+        self._a.write(s)
+        self._b.write(s)
+        return len(s)
+
+    def flush(self):
+        self._a.flush()
+        self._b.flush()
+
+    def __getattr__(self, name):
+        return getattr(self._a, name)
+
+
+def _walk_parser_actions(parser):
+    """(subcommand path, option strings) pairs for completion generation."""
+    out = {"": []}
+    for a in parser._actions:
+        if isinstance(a, argparse._SubParsersAction):
+            for name, sp in a.choices.items():
+                for path, opts in _walk_parser_actions(sp).items():
+                    out[(name + " " + path).strip()] = opts
+        else:
+            out[""].extend(a.option_strings)
+    return out
+
+
+def cmd_autocompletion(args) -> int:
+    """Emit a completion script for the requested shell.
+
+    Mirrors `lexicmap autocompletion` (ref: autocomplete.go:32-99), generated
+    from the argparse tree instead of Cobra.
+    """
+    tree = _walk_parser_actions(build_parser())
+    # group: path -> subcommands at that level, and path -> flags
+    subs: dict[str, list[str]] = {}
+    for path in tree:
+        if not path:
+            continue
+        parts = path.split()
+        parent = " ".join(parts[:-1])
+        subs.setdefault(parent, []).append(parts[-1])
+    if args.shell == "bash":
+        # NOTE: case patterns must be UNQUOTED for globs to match; spaces in
+        # multi-word paths are replaced by '*'
+        # deeper paths first so e.g. "genome search" wins over "search"
+        def _depth_first(items):
+            return sorted(items, key=lambda kv: (len(kv[0].split()), kv[0]), reverse=True)
+
+        cases = []
+        for parent, names in _depth_first(subs.items()):
+            pat = "*" if not parent else "*" + parent.replace(" ", "*") + "*"
+            cases.append(f'        {pat}) words="{" ".join(sorted(set(names)))}" ;;')
+        flag_cases = []
+        for path, opts in _depth_first(tree.items()):
+            if not path or not opts:
+                continue
+            pat = "*" + path.replace(" ", "*") + "*"
+            flag_cases.append(
+                f'        {pat}) flags="{" ".join(sorted(set(opts)))}" ;;'
+            )
+        print(f"""# bash completion for lexicmap-tpu; source this file
+_lexicmap_tpu() {{
+    local cur words flags
+    cur="${{COMP_WORDS[COMP_CWORD]}}"
+    words="" flags=""
+    case "${{COMP_WORDS[*]}}" in
+{chr(10).join(flag_cases)}
+    esac
+    case "${{COMP_WORDS[*]}}" in
+{chr(10).join(cases)}
+    esac
+    if [[ "$cur" == -* ]]; then
+        COMPREPLY=($(compgen -W "$flags" -- "$cur"))
+    else
+        COMPREPLY=($(compgen -W "$words" -- "$cur"))
+    fi
+}}
+complete -o default -F _lexicmap_tpu lexicmap-tpu""")
+    elif args.shell == "zsh":
+        print("# zsh: use bashcompinit\nautoload -U +X bashcompinit && bashcompinit")
+        print("# then source the bash script: lexicmap-tpu autocompletion --shell bash")
+    else:
+        names = sorted(set(n for ns in subs.values() for n in ns))
+        print(f"complete -c lexicmap-tpu -a \"{' '.join(names)}\"")
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if getattr(args, "log", ""):
+        fh = open(args.log, "a")
+        sys.stderr = _TeeStream(sys.stderr, fh)
     return args.func(args)
 
 
