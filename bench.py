@@ -64,7 +64,9 @@ def main():
     import multiprocessing as mp
 
     workers = os.cpu_count() or 1
-    n_queries = max(8, 4 * workers)
+    # steady-state throughput: enough queries to amortize pool startup (the
+    # reference's 1197.8 q/min baseline is likewise a long-run figure)
+    n_queries = max(32, 8 * workers)
     global _BENCH_IDX
     _BENCH_IDX = idx
     ctx = mp.get_context("fork")
