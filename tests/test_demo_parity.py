@@ -57,6 +57,29 @@ def test_gene_query_bit_identical(searcher):
     assert rows == golden
 
 
+def test_gene_query_all_columns_bit_identical(searcher):
+    """-a output (cigar, qseq, sseq, align text) vs the reference's
+    q.gene.fasta.lexicmap_top-2-genomes_all.tsv golden, on the genome present
+    in both top-2 selections (the top-2 cut itself is mask-RNG-dependent:
+    per-genome chain scores vary with mask placement, see masks.py NOTE)."""
+    from lexicmap_tpu.cli import format_hit_rows
+    from lexicmap_tpu.index.search import IndexSearcher, SearchOptions
+    from lexicmap_tpu.utils.fasta import read_fastx
+
+    s = IndexSearcher(DEMO_DB, SearchOptions(output_seq=True, top_n=2))
+    rec = next(iter(read_fastx(os.path.join(DEMO_DIR, "q.gene.fasta"))))
+    hits = s.search_bytes(rec.seq)
+    rows = list(format_hit_rows(rec.id.decode(), len(rec.seq), hits, all_columns=True))
+    golden = _golden(
+        os.path.join(DEMO_DIR, "q.gene.fasta.lexicmap_top-2-genomes_all.tsv")
+    )
+    shared = "GCF_002949675"
+    ours = [r for r in rows if shared in r]
+    want = [r for r in golden if shared in r]
+    assert len(want) == 7
+    assert ours == want
+
+
 def test_prophage_query_rows_subset_exact(searcher):
     golden = _golden(os.path.join(DEMO_DIR, "q.prophage.fasta.lexicmap.tsv"))
     rows = _rows(searcher, os.path.join(DEMO_DIR, "q.prophage.fasta"))
