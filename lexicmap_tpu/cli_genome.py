@@ -6,7 +6,6 @@
 from __future__ import annotations
 
 import itertools
-import sys
 
 from .cli_utils import _open_out
 

@@ -15,7 +15,6 @@ LexicMap binary format (.lmi).
 from __future__ import annotations
 
 import os
-import shutil
 
 import numpy as np
 

@@ -35,7 +35,7 @@ from ..constants import (
     SearchDefaults,
 )
 from ..masks import MaskSet
-from ..ops.align import align, alignment_text, score_and_evalue, trim_ops
+from ..ops.align import align, alignment_text, score_and_evalue
 from ..ops.wfa import wfa_align
 from ..ops.chaining import Anchors, ChainingOptions, chain, clear_substr_pairs, seed_weight
 from ..ops.chaining2 import Chain2Result, Chaining2Options
@@ -60,7 +60,6 @@ from .store import (
     IndexInfo,
     SeedChunkReader,
     batch_dir,
-    chunk_dir,
     read_genome_chunks,
     read_genome_map,
 )

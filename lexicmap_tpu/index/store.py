@@ -26,13 +26,11 @@ from __future__ import annotations
 
 import json
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
 from .. import FORMAT_MAIN_VERSION, FORMAT_MINOR_VERSION
-from ..masks import MaskSet
-from ..utils.kmers import seq_to_codes
 
 FILE_INFO = "info.json"
 FILE_MASKS = "masks.bin"

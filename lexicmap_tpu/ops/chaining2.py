@@ -8,7 +8,7 @@ backtrack that emits all disjoint chains (chainARegion).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -13,7 +13,6 @@ result collection (lib-index-search.go:1316-1528).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
