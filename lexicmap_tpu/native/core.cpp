@@ -515,6 +515,50 @@ static inline void xor_argmin_range(const uint64_t* sk, int64_t n, uint64_t mask
     *out_hi = hi;
 }
 
+// All-masks XOR-argmin by simultaneous trie co-descent.  masks and sk are
+// both sorted; ranges passed down a level always share their prefix above
+// `bit`, so a range splits at the partition point of that bit.  Shared mask
+// prefixes descend the candidate trie once instead of once per mask:
+// O((m + nc) * bits) total instead of m independent descents.  Semantics are
+// identical to per-mask xor_argmin_range (equal-value winner ranges).
+static void xor_argmin_all(const uint64_t* masks, int64_t mlo, int64_t mhi,
+                           const uint64_t* sk, int64_t clo, int64_t chi,
+                           int bit, int64_t* out_lo, int64_t* out_hi) {
+    while (true) {
+        if (mlo >= mhi) return;
+        // all remaining candidates equal -> outcome fixed for every mask
+        if (bit < 0 || sk[clo] == sk[chi - 1]) {
+            for (int64_t j = mlo; j < mhi; ++j) { out_lo[j] = clo; out_hi[j] = chi; }
+            return;
+        }
+        uint64_t b = 1ULL << bit;
+        // partition point: first element with `bit` set (ranges share upper bits)
+        auto split_at = [b](const uint64_t* a, int64_t lo, int64_t hi) {
+            while (lo < hi) {
+                int64_t mid = (lo + hi) >> 1;
+                if (a[mid] & b) hi = mid; else lo = mid + 1;
+            }
+            return lo;
+        };
+        int64_t ms = split_at(masks, mlo, mhi);
+        int64_t cs = split_at(sk, clo, chi);
+        --bit;
+        if (ms == mhi) {         // all masks in 0-branch: tail-iterate
+            if (cs > clo) { chi = cs; } else { clo = cs; }
+            continue;
+        }
+        if (ms == mlo) {         // all masks in 1-branch
+            if (chi > cs) { clo = cs; } else { chi = cs; }
+            continue;
+        }
+        xor_argmin_all(masks, mlo, ms, sk,
+                       (cs > clo) ? clo : cs, (cs > clo) ? cs : chi,
+                       bit, out_lo, out_hi);
+        if (chi > cs) { mlo = ms; clo = cs; }
+        else { mlo = ms; chi = cs; }
+    }
+}
+
 // capture_native sorts candidate (kmer, loc) pairs and captures per mask.
 // Inputs: fwd/rc [n] packed k-mers; exclude [n] (0/1, may be NULL);
 // masks [m] sorted.  Outputs: out_kmers [m] (0 = none), out_counts [m],
@@ -540,10 +584,12 @@ int64_t capture_native(const uint64_t* fwd, const uint64_t* rc, int64_t n,
     for (int64_t i = 0; i < nc; ++i) sk[i] = cand[i].first;
 
     int bits = 2 * k;
+    std::vector<int64_t> win_lo((size_t)m), win_hi((size_t)m);
+    xor_argmin_all(masks, 0, m, sk.data(), 0, nc, bits - 1,
+                   win_lo.data(), win_hi.data());
     int64_t w = 0;
     for (int64_t j = 0; j < m; ++j) {
-        int64_t lo, hi;
-        xor_argmin_range(sk.data(), nc, masks[j], bits, &lo, &hi);
+        int64_t lo = win_lo[(size_t)j], hi = win_hi[(size_t)j];
         uint64_t winner = sk[lo];
         if (!check_shorter) {
             // require shared prefix >= prefix_len
