@@ -1030,11 +1030,18 @@ extern "C" {
 void xor_argmin_batch(const uint64_t* sorted_vals, int64_t n,
                       const uint64_t* queries, int64_t nq, int32_t bits,
                       int64_t* out_idx) {
-    for (int64_t i = 0; i < nq; ++i) {
-        int64_t lo, hi;
-        xor_argmin_range(sorted_vals, n, queries[i], bits, &lo, &hi);
-        out_idx[i] = lo;
-    }
+    // sort queries, co-descend both tries at once (amortizes shared-prefix
+    // descent work; same winner semantics as per-query xor_argmin_range),
+    // then scatter back to the original order
+    std::vector<std::pair<uint64_t, int64_t>> qs((size_t)nq);
+    for (int64_t i = 0; i < nq; ++i) qs[(size_t)i] = {queries[i], i};
+    std::sort(qs.begin(), qs.end());
+    std::vector<uint64_t> qsorted((size_t)nq);
+    for (int64_t i = 0; i < nq; ++i) qsorted[(size_t)i] = qs[(size_t)i].first;
+    std::vector<int64_t> lo((size_t)nq), hi((size_t)nq);
+    xor_argmin_all(qsorted.data(), 0, nq, sorted_vals, 0, n, bits - 1,
+                   lo.data(), hi.data());
+    for (int64_t i = 0; i < nq; ++i) out_idx[qs[(size_t)i].second] = lo[(size_t)i];
 }
 
 // DUST low-complexity flags for a batch of k-mers
