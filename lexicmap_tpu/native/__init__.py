@@ -116,6 +116,17 @@ def get_lib():
         ctypes.c_int64, ctypes.c_int64,
         i64p, i64p, i64p, i8p, ctypes.c_int64,
     ]
+    lib.compare_prepare.restype = ctypes.c_int64
+    lib.compare_prepare.argtypes = [
+        u64p, u32p, ctypes.c_int64,
+        i8p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_double,
+        i64p, i64p, i64p, i8p,
+        f64p, i64p, ctypes.c_int64,
+    ]
     lib.capture_native.restype = ctypes.c_int64
     lib.capture_native.argtypes = [
         u64p, u64p, ctypes.c_int64, ctypes.c_void_p, u64p, ctypes.c_int64,
@@ -378,6 +389,42 @@ def compare_probe_codes_native(qk, qv, tcodes, mprefix, k, begin, end, qtab=None
             cap *= 4
             continue
         return aq[:w], at[:w], al[:w], arc[:w].astype(bool)
+
+
+def compare_prepare_native(qk, qv, tcodes, mprefix, k, begin, end,
+                           band_base, band_count, max_gap, qtab=None, bbits=0):
+    """Fused probe + dedup + trim + Chainer2 forward DP.  Returns
+    (aq, at, al, arc, max_scores, prev_idx) with the cleaned anchors,
+    or None (fallback needed)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    L = int(tcodes.shape[0])
+    cap = max(8 * max(L - int(k) + 1, 1), 4096)
+    qk = np.ascontiguousarray(qk, dtype=np.uint64)
+    qv = np.ascontiguousarray(qv, dtype=np.uint32)
+    tcodes = np.ascontiguousarray(tcodes, dtype=np.uint8)
+    tab_ptr = 0
+    if qtab is not None:
+        qtab = np.ascontiguousarray(qtab, dtype=np.uint32)
+        tab_ptr = qtab.ctypes.data
+    while True:
+        aq = np.empty(cap, dtype=np.int64)
+        at = np.empty(cap, dtype=np.int64)
+        al = np.empty(cap, dtype=np.int64)
+        arc = np.empty(cap, dtype=np.uint8)
+        scores = np.empty(cap, dtype=np.float64)
+        prev = np.empty(cap, dtype=np.int64)
+        n = lib.compare_prepare(
+            qk, qv, int(qk.shape[0]), tcodes, L, tab_ptr, int(bbits),
+            int(mprefix), int(k), int(begin), int(end),
+            int(band_base), int(band_count), float(max_gap),
+            aq, at, al, arc, scores, prev, cap,
+        )
+        if n == -1:
+            cap *= 4
+            continue
+        return aq[:n], at[:n], al[:n], arc[:n].astype(bool), scores[:n], prev[:n]
 
 
 def chain3_native(qb, tb, ln, max_gap=5, min_score=1, min_align_len=2,

@@ -11,6 +11,7 @@
 // Loaded via ctypes (lexicmap_tpu/native/__init__.py).
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <cmath>
 #include <vector>
@@ -1016,6 +1017,143 @@ int64_t compare_probe_codes(const uint64_t* qk, const uint32_t* qv, int64_t nq,
         }
     }
     return w;
+}
+
+// Fused SeqComparator pipeline: probe -> sort (QBegin asc, QEnd desc,
+// TBegin asc) -> nested-anchor removal -> tandem-repeat trim -> Chainer2
+// forward DP, all in one call (mirrors ops/seqcompare.py _finish_compare +
+// ops/chaining2.py chain2; ref: lib-seq_compare.go:335-521,
+// lib-chaining2.go:222-307).  Outputs the cleaned anchors plus the DP
+// tables; backtracking stays on the Python side.  Returns the final anchor
+// count, 0 if nothing survives, -1 on cap overflow.
+int64_t compare_prepare(const uint64_t* qk, const uint32_t* qv, int64_t nq,
+                        const uint8_t* tcodes, int64_t L,
+                        const uint32_t* qtab, int32_t bbits,
+                        int32_t mprefix, int32_t k,
+                        int64_t begin, int64_t end,
+                        int32_t band_base, int32_t band_count, double max_gap,
+                        int64_t* aq, int64_t* at, int64_t* al, uint8_t* arc,
+                        double* max_scores, int64_t* prev_idx, int64_t cap) {
+    int64_t w = compare_probe_codes(qk, qv, nq, tcodes, L, qtab, bbits,
+                                    mprefix, k, begin, end, aq, at, al, arc, cap);
+    if (w <= 0) return w;
+
+    // sort indices by (QBegin asc, QEnd desc, TBegin asc)
+    std::vector<int64_t> ord((size_t)w);
+    for (int64_t i = 0; i < w; ++i) ord[(size_t)i] = i;
+    std::sort(ord.begin(), ord.end(), [&](int64_t x, int64_t y) {
+        if (aq[x] != aq[y]) return aq[x] < aq[y];
+        int64_t ex = aq[x] + al[x], ey = aq[y] + al[y];
+        if (ex != ey) return ex > ey;
+        return at[x] < at[y];
+    });
+    std::vector<int64_t> sq((size_t)w), st((size_t)w), sl((size_t)w);
+    std::vector<uint8_t> sc((size_t)w);
+    for (int64_t i = 0; i < w; ++i) {
+        int64_t o = ord[(size_t)i];
+        sq[(size_t)i] = aq[o]; st[(size_t)i] = at[o];
+        sl[(size_t)i] = al[o]; sc[(size_t)i] = arc[o];
+    }
+
+    // drop nested anchors (clear_substr_pairs_mark semantics, int64)
+    std::vector<int64_t> keep;
+    keep.reserve((size_t)w);
+    keep.push_back(0);
+    for (int64_t i = 1; i < w; ++i) {
+        int64_t vqe = sq[(size_t)i] + sl[(size_t)i];
+        int64_t upbound = vqe - k;
+        if (upbound < 0) upbound = 0;
+        int64_t vtb = st[(size_t)i], vte = st[(size_t)i] + sl[(size_t)i];
+        int64_t lo = 0, hi = i + 1;
+        while (lo < hi) {
+            int64_t mid = (lo + hi) >> 1;
+            if (sq[(size_t)mid] < upbound) lo = mid + 1; else hi = mid;
+        }
+        bool drop = false;
+        for (int64_t j = lo; j < i; ++j) {
+            if (vqe <= sq[(size_t)j] + sl[(size_t)j] && vtb >= st[(size_t)j] &&
+                vte <= st[(size_t)j] + sl[(size_t)j]) { drop = true; break; }
+        }
+        if (!drop) keep.push_back(i);
+    }
+    int64_t n = (int64_t)keep.size();
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t o = keep[(size_t)i];
+        sq[(size_t)i] = sq[(size_t)o]; st[(size_t)i] = st[(size_t)o];
+        sl[(size_t)i] = sl[(size_t)o]; sc[(size_t)i] = sc[(size_t)o];
+    }
+
+    // trim tandem-repeat artifacts (TrimSubStrPairs, min_dist=100)
+    if (n >= 2) {
+        auto dist = [&](int64_t i, int64_t j) {
+            int64_t dq = std::llabs(sq[(size_t)i] - sq[(size_t)j]);
+            int64_t dt = std::llabs(st[(size_t)i] - st[(size_t)j]);
+            return dq > dt ? dq : dt;
+        };
+        auto gap2 = [&](int64_t i, int64_t j) {
+            int64_t dq = std::llabs(sq[(size_t)i] - sq[(size_t)j]);
+            int64_t dt = std::llabs(st[(size_t)i] - st[(size_t)j]);
+            return std::llabs(dq - dt);
+        };
+        auto overlap = [&](int64_t i, int64_t j) {  // i in front of j
+            int64_t qo = 0, to = 0;
+            if (sq[(size_t)j] >= sq[(size_t)i] && sq[(size_t)j] <= sq[(size_t)i] + sl[(size_t)i])
+                qo = sq[(size_t)i] + sl[(size_t)i] - sq[(size_t)j] + 1;
+            if (st[(size_t)j] >= st[(size_t)i] && st[(size_t)j] <= st[(size_t)i] + sl[(size_t)i])
+                to = st[(size_t)i] + sl[(size_t)i] - st[(size_t)j] + 1;
+            return qo > to ? qo : to;
+        };
+        const double min_dist = 100.0;
+        int64_t prev = 0, start = 0;
+        for (int64_t i = 1; i < n; ++i) {
+            if ((double)dist(i, prev) < min_dist &&
+                ((sq[(size_t)i] == sq[(size_t)prev] || st[(size_t)i] == st[(size_t)prev]) ||
+                 (gap2(prev, i) > 11 &&
+                  (double)overlap(prev, i) / (double)sl[(size_t)prev] > 0.8))) {
+                start = i - 1;
+                prev = i;
+                continue;
+            }
+            break;
+        }
+        prev = n - 1;
+        int64_t endi = n - 1;
+        for (int64_t i = n - 2; i >= 0; --i) {
+            if ((double)dist(i, prev) < min_dist &&
+                ((sq[(size_t)i] == sq[(size_t)prev] || st[(size_t)i] == st[(size_t)prev]) ||
+                 (gap2(i, prev) > 11 &&
+                  (double)overlap(i, prev) / (double)sl[(size_t)prev] > 0.8))) {
+                endi = i;
+                prev = i;
+                continue;
+            }
+            break;
+        }
+        if (!(start == 0 && endi == n - 1)) {
+            if (start >= endi) return 0;
+            int64_t nn = endi - start + 1;
+            for (int64_t i = 0; i < nn; ++i) {
+                sq[(size_t)i] = sq[(size_t)(start + i)];
+                st[(size_t)i] = st[(size_t)(start + i)];
+                sl[(size_t)i] = sl[(size_t)(start + i)];
+                sc[(size_t)i] = sc[(size_t)(start + i)];
+            }
+            n = nn;
+        }
+    }
+
+    for (int64_t i = 0; i < n; ++i) {
+        aq[i] = sq[(size_t)i]; at[i] = st[(size_t)i];
+        al[i] = sl[(size_t)i]; arc[i] = sc[(size_t)i];
+    }
+    if (n >= 2) {
+        chain2_forward(aq, at, al, n, band_base, band_count, max_gap,
+                       max_scores, prev_idx);
+    } else if (n == 1) {
+        max_scores[0] = (double)al[0];
+        prev_idx[0] = 0;
+    }
+    return n;
 }
 
 }  // extern "C"

@@ -140,7 +140,32 @@ class SeqComparator:
         if L < k or self.qk is None or self.qk.shape[0] == 0:
             return None
 
-        from ..native import compare_probe_codes_native, compare_probe_native
+        from ..native import (
+            compare_prepare_native,
+            compare_probe_codes_native,
+            compare_probe_native,
+        )
+
+        copt = self.opt.chaining
+        prepared = compare_prepare_native(
+            self.qk, self.qv, tcodes, m, k, begin, end,
+            copt.band_base, copt.band_count, copt.max_gap,
+            qtab=getattr(self, "qtab", None), bbits=getattr(self, "qtab_bits", 0),
+        )
+        if prepared is not None:
+            aq, at, al, arc, scores, prev = prepared
+            n = aq.shape[0]
+            if n == 0:
+                return None
+            anchors = Anchors(aq, at, al, arc, arc)
+            if n == 1:
+                res = chain2(anchors, copt)
+            else:
+                from .chaining2 import _chain2_finish
+
+                Mi = int(np.argmax(scores))
+                res = _chain2_finish(anchors, scores, prev, float(scores[Mi]), Mi, copt)
+            return self._result_from_chain2(res, query_len)
 
         native = compare_probe_codes_native(
             self.qk, self.qv, tcodes, m, k, begin, end,
@@ -231,11 +256,12 @@ class SeqComparator:
         anchors = trim_substr_pairs(anchors, k, 100.0)
         if len(anchors) == 0:
             return None
+        return self._result_from_chain2(chain2(anchors, self.opt.chaining), query_len)
 
-        chains, _nm, n_aligned_q, _nat, *_ = chain2(anchors, self.opt.chaining)
+    def _result_from_chain2(self, res, query_len: int):
+        chains, _nm, n_aligned_q, _nat, *_ = res
         if chains is None:
             return None
-
         r = SeqComparatorResult()
         r.aligned_bases = n_aligned_q
         r.query_len = query_len
