@@ -331,6 +331,16 @@ class IndexSearcher:
         lb = qkmers & ~suf
         rb = qkmers | suf
         entry_kmers = rdr.kmers
+
+        from ..native import range_match_native
+
+        native = range_match_native(
+            entry_kmers, rdr.entry_offsets, rdr.values, seg_lo, seg_hi,
+            lb, rb, qkmers, k, want_rev,
+        )
+        if native is not None:
+            return native
+
         e0 = searchsorted_segments(entry_kmers, seg_lo, seg_hi, lb, side="left")
         e1 = searchsorted_segments(entry_kmers, seg_lo, seg_hi, rb, side="right")
         counts = e1 - e0

@@ -116,6 +116,14 @@ def get_lib():
         ctypes.c_int64, ctypes.c_int64,
         i64p, i64p, i64p, i8p, ctypes.c_int64,
     ]
+    lib.range_match.restype = ctypes.c_int64
+    lib.range_match.argtypes = [
+        u64p, i64p, u64p,
+        i64p, i64p,
+        u64p, u64p, u64p,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        i64p, i64p, i64p, ctypes.c_int64,
+    ]
     lib.compare_prepare.restype = ctypes.c_int64
     lib.compare_prepare.argtypes = [
         u64p, u32p, ctypes.c_int64,
@@ -389,6 +397,38 @@ def compare_probe_codes_native(qk, qv, tcodes, mprefix, k, begin, end, qtab=None
             cap *= 4
             continue
         return aq[:w], at[:w], al[:w], arc[:w].astype(bool)
+
+
+def range_match_native(entry_kmers, entry_offsets, values, seg_lo, seg_hi,
+                       lb, rb, qkmers, k, want_rev):
+    """Per-mask prefix-range matching with entry-level flag filter.
+    Returns (entry_idx, query_row, lcp) int64 arrays or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    nq = int(qkmers.shape[0])
+    entry_kmers = np.ascontiguousarray(entry_kmers, dtype=np.uint64)
+    entry_offsets = np.ascontiguousarray(entry_offsets, dtype=np.int64)
+    values = np.ascontiguousarray(values, dtype=np.uint64)
+    seg_lo = np.ascontiguousarray(seg_lo, dtype=np.int64)
+    seg_hi = np.ascontiguousarray(seg_hi, dtype=np.int64)
+    lb = np.ascontiguousarray(lb, dtype=np.uint64)
+    rb = np.ascontiguousarray(rb, dtype=np.uint64)
+    qkmers = np.ascontiguousarray(qkmers, dtype=np.uint64)
+    cap = max(16 * nq, 4096)
+    while True:
+        out_e = np.empty(cap, dtype=np.int64)
+        out_q = np.empty(cap, dtype=np.int64)
+        out_l = np.empty(cap, dtype=np.int64)
+        w = lib.range_match(
+            entry_kmers, entry_offsets, values, seg_lo, seg_hi,
+            lb, rb, qkmers, nq, int(k), 1 if want_rev else 0,
+            out_e, out_q, out_l, cap,
+        )
+        if w == -1:
+            cap *= 4
+            continue
+        return out_e[:w], out_q[:w], out_l[:w]
 
 
 def compare_prepare_native(qk, qv, tcodes, mprefix, k, begin, end,

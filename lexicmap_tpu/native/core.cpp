@@ -1197,4 +1197,32 @@ void dust_batch(const uint64_t* kmers, int64_t n, int32_t k, uint8_t* out) {
     for (int64_t i = 0; i < n; ++i) out[i] = dust_scalar(kmers[i], k) ? 1 : 0;
 }
 
+// Per-mask prefix-range seed matching (index/search.py _match_chunk):
+// for each query k-mer i, scan entries of its mask segment within
+// [lb[i], rb[i]], keep entries whose first posting's reverse flag matches,
+// and emit (entry index, query row, LCP) (ref: kv-searcher.go:263-469).
+// Returns hit count or -1 if cap exceeded.
+int64_t range_match(const uint64_t* ek, const int64_t* eoff, const uint64_t* vals,
+                    const int64_t* seg_lo, const int64_t* seg_hi,
+                    const uint64_t* lb, const uint64_t* rb, const uint64_t* qk,
+                    int64_t nq, int32_t k, int32_t want_rev,
+                    int64_t* out_e, int64_t* out_q, int64_t* out_l, int64_t cap) {
+    const uint64_t want = want_rev ? 1ULL : 0ULL;
+    int64_t w = 0;
+    for (int64_t i = 0; i < nq; ++i) {
+        int64_t lo = seg_lo[i], hi = seg_hi[i];
+        if (lo >= hi) continue;
+        int64_t e0 = std::lower_bound(ek + lo, ek + hi, lb[i]) - ek;
+        int64_t e1 = std::upper_bound(ek + e0, ek + hi, rb[i]) - ek;
+        for (int64_t e = e0; e < e1; ++e) {
+            if ((vals[eoff[e]] & 1ULL) != want) continue;
+            uint64_t x = ek[e] ^ qk[i];
+            int64_t lcp = x == 0 ? k : (__builtin_clzll(x) >> 1) + (k - 32);
+            if (w >= cap) return -1;
+            out_e[w] = e; out_q[w] = i; out_l[w] = lcp; ++w;
+        }
+    }
+    return w;
+}
+
 }  // extern "C"
