@@ -24,21 +24,10 @@ extern "C" {
 // Returns the number of op chars written to ops_out ('M','X','I','D'),
 // or -1 on failure / capacity overflow.
 
-static const int64_t NEG = INT64_MIN / 4;
-
-struct WF {
-    int32_t lo = 0;
-    std::vector<int64_t> M, I, D;
-    bool present = false;
-    inline int64_t get(const std::vector<int64_t>& a, int32_t k) const {
-        int32_t idx = k - lo;
-        if (idx < 0 || idx >= (int32_t)a.size()) return NEG;
-        return a[idx];
-    }
-    inline int64_t getM(int32_t k) const { return get(M, k); }
-    inline int64_t getI(int32_t k) const { return get(I, k); }
-    inline int64_t getD(int32_t k) const { return get(D, k); }
-};
+// cell values are furthest-reaching offsets (<= sequence length), so int32
+// halves the wavefront-row memory traffic vs int64
+typedef int32_t wfv_t;
+static const wfv_t NEG = INT32_MIN / 4;
 
 static inline int64_t extend_match(const uint8_t* q, const uint8_t* t,
                                    int64_t n, int64_t m, int64_t f, int64_t k) {
@@ -79,7 +68,7 @@ int64_t wfa_align(const uint8_t* q, int64_t n, const uint8_t* t, int64_t m,
     struct Meta { int32_t lo; int32_t width; int64_t off; int32_t tlo; int32_t thi; };
     std::vector<Meta> meta;
     meta.reserve(1024);
-    std::vector<int64_t> arena;
+    std::vector<wfv_t> arena;
     arena.reserve(1 << 16);
 
     auto alloc_wf = [&](int32_t lo, int32_t width) -> int64_t {
@@ -87,7 +76,7 @@ int64_t wfa_align(const uint8_t* q, int64_t n, const uint8_t* t, int64_t m,
         arena.resize(arena.size() + (size_t)(3 * width), NEG);
         return off;
     };
-    auto getv = [&](int64_t s, int which, int32_t k) -> int64_t {
+    auto getv = [&](int64_t s, int which, int32_t k) -> wfv_t {
         if (s < 0 || (size_t)s >= meta.size()) return NEG;
         const Meta& mt = meta[(size_t)s];
         if (mt.width <= 0) return NEG;
@@ -129,12 +118,12 @@ int64_t wfa_align(const uint8_t* q, int64_t n, const uint8_t* t, int64_t m,
         int32_t width = hi - lo + 1;
         int64_t off = alloc_wf(lo, width);
         meta.push_back({lo, width, off, lo, hi});
-        int64_t* Mrow = arena.data() + off;
-        int64_t* Irow = Mrow + width;
-        int64_t* Drow = Irow + width;
+        wfv_t* Mrow = arena.data() + off;
+        wfv_t* Irow = Mrow + width;
+        wfv_t* Drow = Irow + width;
 
         // hoist source-row views out of the cell loop
-        struct View { const int64_t* p; int32_t lo; int32_t w; };
+        struct View { const wfv_t* p; int32_t lo; int32_t w; };
         auto view = [&](int64_t ss, int which) -> View {
             const Meta& mt = meta[(size_t)ss];
             return {arena.data() + mt.off + (int64_t)which * mt.width, mt.lo, mt.width};
@@ -143,29 +132,29 @@ int64_t wfa_align(const uint8_t* q, int64_t n, const uint8_t* t, int64_t m,
         if (has_x) vX = view(s - x, 0);
         if (has_oe) vOM = view(s - o - e, 0);
         if (has_e) { vEI = view(s - e, 1); vED = view(s - e, 2); }
-        auto rd = [](const View& v, int32_t k) -> int64_t {
+        auto rd = [](const View& v, int32_t k) -> wfv_t {
             int32_t i = k - v.lo;
             return (v.p && i >= 0 && i < v.w) ? v.p[i] : NEG;
         };
 
         for (int32_t idx = 0; idx < width; ++idx) {
             int32_t k = lo + idx;
-            int64_t d_open = rd(vOM, k - 1);
-            int64_t d_ext = rd(vED, k - 1);
-            int64_t D = std::max(d_open, d_ext);
+            wfv_t d_open = rd(vOM, k - 1);
+            wfv_t d_ext = rd(vED, k - 1);
+            wfv_t D = std::max(d_open, d_ext);
             if (D > NEG) D += 1;
-            int64_t i_open = rd(vOM, k + 1);
-            int64_t i_ext = rd(vEI, k + 1);
-            int64_t I = std::max(i_open, i_ext);
-            int64_t mis = rd(vX, k);
+            wfv_t i_open = rd(vOM, k + 1);
+            wfv_t i_ext = rd(vEI, k + 1);
+            wfv_t I = std::max(i_open, i_ext);
+            wfv_t mis = rd(vX, k);
             if (mis > NEG) mis += 1;
 
-            int64_t M = std::max(std::max(mis, I), D);
-            int64_t iv = M - k;
+            wfv_t M = std::max(std::max(mis, I), D);
+            int64_t iv = (int64_t)M - k;
             if (!(M > NEG && M <= m && iv >= 0 && iv <= n)) M = NEG;
             if (!(I > NEG && I <= m && (I - k) >= 0 && (I - k) <= n)) I = NEG;
             if (!(D > NEG && D <= m && (D - k) >= 0 && (D - k) <= n)) D = NEG;
-            if (M > NEG) M = extend_match(q, t, n, m, M, k);
+            if (M > NEG) M = (wfv_t)extend_match(q, t, n, m, M, k);
             Mrow[idx] = M;
             Irow[idx] = I;
             Drow[idx] = D;
