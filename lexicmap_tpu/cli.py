@@ -219,6 +219,25 @@ def cmd_search(args) -> int:
                     matched += 1
                     for row in rows:
                         out.write(row.encode() + b"\n")
+    elif args.engine == "device":
+        # batch queries so the Pallas seed-match kernel dispatches once per
+        # batch (amortizes device round-trip latency)
+        import itertools
+
+        it = iter_queries()
+        while True:
+            batch = list(itertools.islice(it, 32))
+            if not batch:
+                break
+            n += len(batch)
+            many = idx.search_many([r.seq for r in batch])
+            for rec, results in zip(batch, many):
+                if results:
+                    matched += 1
+                    for row in format_hit_rows(
+                        rec.id.decode(), len(rec.seq), results, args.all, args.show_sseq_idx
+                    ):
+                        out.write(row.encode() + b"\n")
     else:
         for rec in iter_queries():
             n += 1

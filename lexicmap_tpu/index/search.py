@@ -362,13 +362,21 @@ class IndexSearcher:
         lcp = kmer_lcp(np.asarray(entry_kmers[idx]), qkmers[qrow], k)
         return idx, qrow, lcp
 
-    def _collect_anchors(self, qcodes: np.ndarray, genome_codes: set[int] | None = None):
+    def _collect_anchors(
+        self,
+        qcodes: np.ndarray,
+        genome_codes: set[int] | None = None,
+        premasked=None,
+        dev_hits_pre=None,
+    ):
         """Phases 1+2; returns dict refBatchAndIdx -> Anchors.
 
         genome_codes: optional white list of batch<<17|idx codes
-        (the reference's genomeIds param, used by genome screening)."""
+        (the reference's genomeIds param, used by genome screening).
+        premasked / dev_hits_pre: results of _mask_query / a batched device
+        match computed up front by search_many (amortizes device dispatch)."""
         k = self.k
-        kmers, capres = self._mask_query(qcodes)
+        kmers, capres = premasked if premasked is not None else self._mask_query(qcodes)
         rnew, rkmers, rorig = self._reversed_query_kmers(kmers)
 
         all_vals = []
@@ -377,8 +385,12 @@ class IndexSearcher:
         all_rev = []
 
         # device prefix matching: one kernel launch for all masks
-        dev_hits = None
-        if self.device_matcher is not None and self.opt.min_prefix <= 16:
+        dev_hits = dev_hits_pre
+        if (
+            dev_hits is None
+            and self.device_matcher is not None
+            and self.opt.min_prefix <= 16
+        ):
             dev_hits = self.device_matcher.match(kmers, self.opt.min_prefix)
 
         for rdr in self.chunks:
@@ -800,7 +812,11 @@ class IndexSearcher:
     # ------------------------------------------------------------------
 
     def search(
-        self, qcodes: np.ndarray, genome_codes: set[int] | None = None
+        self,
+        qcodes: np.ndarray,
+        genome_codes: set[int] | None = None,
+        premasked=None,
+        dev_hits_pre=None,
     ) -> list[GenomeHit]:
         """Full pipeline for one query (already encoded to 2-bit codes)."""
         import sys
@@ -810,7 +826,9 @@ class IndexSearcher:
         t0 = time.time()
         if qcodes.shape[0] < self.k:
             return []
-        per_genome = self._collect_anchors(qcodes, genome_codes)
+        per_genome = self._collect_anchors(
+            qcodes, genome_codes, premasked=premasked, dev_hits_pre=dev_hits_pre
+        )
         if debug:
             print(
                 f"  [debug] seed matching: {len(per_genome)} genome hits "
@@ -907,6 +925,32 @@ class IndexSearcher:
 
     def search_bytes(self, seq: bytes) -> list[GenomeHit]:
         return self.search(seq_to_codes(seq.upper()))
+
+    def search_many(self, seqs: list[bytes]) -> list[list[GenomeHit]]:
+        """Search a batch of queries.  With --engine device, the prefix seed
+        matching for the whole batch runs as ONE vmapped Pallas dispatch
+        (amortizing device round-trip latency, which dominates per-query
+        launches through high-latency transports); phases 2-4 then run
+        per query on the host.  Host engine: plain per-query loop."""
+        codes = [seq_to_codes(s.upper()) for s in seqs]
+        if self.device_matcher is None or self.opt.min_prefix > 16:
+            return [self.search(c) for c in codes]
+
+        valid = [i for i, c in enumerate(codes) if c.shape[0] >= self.k]
+        masked = {i: self._mask_query(codes[i]) for i in valid}
+        if valid:
+            batch = np.stack([masked[i][0] for i in valid])
+            dev = self.device_matcher.match_batch(batch, self.opt.min_prefix)
+        out: list[list[GenomeHit]] = []
+        for i, c in enumerate(codes):
+            if i not in masked:
+                out.append([])
+                continue
+            bpos = valid.index(i)
+            out.append(
+                self.search(c, premasked=masked[i], dev_hits_pre=dev[bpos])
+            )
+        return out
 
 
 def _find_contig(seq_sizes, interval, k, rc, t_begin, t_end, tb2, te2):
