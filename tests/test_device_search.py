@@ -93,3 +93,23 @@ def test_mask_capture_scores_kernel(db):
     for mi in range(0, idx.mask_set.m, 37):
         xs = sk ^ idx.mask_set.masks[mi]
         assert got[mi] == sk[np.argmin(xs)]
+
+
+def test_search_many_matches_per_query(db):
+    """search_many (batched device dispatch) equals per-query search."""
+    out, seqs = db
+    dev = IndexSearcher(out, SearchOptions(engine="device"))
+    rng = np.random.default_rng(11)
+    queries = []
+    for name in ["D0", "D1", "D2"]:
+        base = bytearray(seqs[name][5000:6500])
+        for _ in range(15):
+            p = int(rng.integers(0, len(base)))
+            base[p] = ord("ACGT"[int(rng.integers(0, 4))])
+        queries.append(bytes(base))
+    queries.append(b"ACGT")  # shorter than k -> empty result slot
+    many = dev.search_many(queries)
+    assert len(many) == 4
+    assert many[3] == []
+    for q, got in zip(queries[:3], many[:3]):
+        assert rows_of(got) == rows_of(dev.search_bytes(q))
