@@ -116,6 +116,8 @@ def get_lib():
         ctypes.c_int64, ctypes.c_int64,
         i64p, i64p, i64p, i8p, ctypes.c_int64,
     ]
+    lib.kmers_fwd_rc_batch.restype = None
+    lib.kmers_fwd_rc_batch.argtypes = [i8p, ctypes.c_int64, ctypes.c_int32, u64p, u64p]
     lib.range_match.restype = ctypes.c_int64
     lib.range_match.argtypes = [
         u64p, i64p, u64p,
@@ -397,6 +399,23 @@ def compare_probe_codes_native(qk, qv, tcodes, mprefix, k, begin, end, qtab=None
             cap *= 4
             continue
         return aq[:w], at[:w], al[:w], arc[:w].astype(bool)
+
+
+def kmers_fwd_rc_native(codes, k):
+    """Forward + RC k-mers at every position (one rolling C pass).
+    Returns (fwd, rc) uint64 arrays or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    L = int(codes.shape[0])
+    n = max(L - int(k) + 1, 0)
+    fwd = np.empty(n, dtype=np.uint64)
+    rc = np.empty(n, dtype=np.uint64)
+    if n:
+        lib.kmers_fwd_rc_batch(
+            np.ascontiguousarray(codes, dtype=np.uint8), L, int(k), fwd, rc
+        )
+    return fwd, rc
 
 
 def range_match_native(entry_kmers, entry_offsets, values, seg_lo, seg_hi,

@@ -1186,6 +1186,28 @@ void dust_batch(const uint64_t* kmers, int64_t n, int32_t k, uint8_t* out) {
     for (int64_t i = 0; i < n; ++i) out[i] = dust_scalar(kmers[i], k) ? 1 : 0;
 }
 
+// Forward + reverse-complement k-mers at every position, one rolling pass
+// (mirrors utils/kmers.py kmers_fwd_rc; first base at the top of the word).
+void kmers_fwd_rc_batch(const uint8_t* codes, int64_t L, int32_t k,
+                        uint64_t* out_fwd, uint64_t* out_rc) {
+    if (L < k) return;
+    const uint64_t kmask = (k >= 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+    const int32_t rcshift = 2 * (k - 1);
+    uint64_t fwd = 0, rc = 0;
+    for (int64_t i = 0; i < k - 1; ++i) {
+        uint64_t c = codes[i];
+        fwd = ((fwd << 2) | c) & kmask;
+        rc = (rc >> 2) | ((3ULL - c) << rcshift);
+    }
+    for (int64_t i0 = k - 1; i0 < L; ++i0) {
+        uint64_t c = codes[i0];
+        fwd = ((fwd << 2) | c) & kmask;
+        rc = (rc >> 2) | ((3ULL - c) << rcshift);
+        out_fwd[i0 - (k - 1)] = fwd;
+        out_rc[i0 - (k - 1)] = rc;
+    }
+}
+
 // Per-mask prefix-range seed matching (index/search.py _match_chunk):
 // for each query k-mer i, scan entries of its mask segment within
 // [lb[i], rb[i]], keep entries whose first posting's reverse flag matches,

@@ -81,7 +81,8 @@ def kmers_fwd(codes: np.ndarray, k: int) -> np.ndarray:
 def kmers_fwd_rc(codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     """Forward and reverse-complement k-mers at every position.
 
-    Buffered Horner accumulation: shift/or into preallocated buffers to avoid
+    Native path: one rolling C pass (kmers_fwd_rc_batch).  Fallback: buffered
+    Horner accumulation — shift/or into preallocated buffers to avoid
     per-iteration temporaries (2x over the naive version on 5 Mb genomes).
     """
     L = codes.shape[0]
@@ -89,6 +90,14 @@ def kmers_fwd_rc(codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     if n <= 0:
         e = np.empty(0, dtype=np.uint64)
         return e, e
+    try:
+        from ..native import kmers_fwd_rc_native
+
+        native = kmers_fwd_rc_native(codes, k)
+        if native is not None:
+            return native
+    except ImportError:  # pragma: no cover
+        pass
     c = codes.astype(np.uint64)
     cc = np.uint64(3) - c  # complement
 
