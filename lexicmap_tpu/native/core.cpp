@@ -569,18 +569,42 @@ int64_t capture_native(const uint64_t* fwd, const uint64_t* rc, int64_t n,
                        int32_t k, int32_t prefix_len, int32_t check_shorter,
                        uint64_t* out_kmers, int64_t* out_counts,
                        uint32_t* out_pos, int64_t cap) {
-    std::vector<std::pair<uint64_t, uint32_t>> cand;
-    cand.reserve((size_t)(2 * n));
+    // gather candidate (k-mer, pos<<1|strand) pairs as parallel arrays
+    std::vector<uint64_t> ka;
+    std::vector<uint32_t> va;
+    ka.reserve((size_t)(2 * n));
+    va.reserve((size_t)(2 * n));
     for (int64_t i = 0; i < n; ++i) {
         if (exclude && exclude[i]) continue;
-        cand.emplace_back(fwd[i], (uint32_t)(i << 1));
-        cand.emplace_back(rc[i], (uint32_t)(i << 1 | 1));
+        ka.push_back(fwd[i]); va.push_back((uint32_t)(i << 1));
+        ka.push_back(rc[i]); va.push_back((uint32_t)(i << 1 | 1));
     }
-    if (cand.empty()) return -2;
-    std::sort(cand.begin(), cand.end());
-    int64_t nc = (int64_t)cand.size();
-    std::vector<uint64_t> sk((size_t)nc);
-    for (int64_t i = 0; i < nc; ++i) sk[i] = cand[i].first;
+    if (ka.empty()) return -2;
+    int64_t nc = (int64_t)ka.size();
+    // stable LSD radix sort by k-mer, 16-bit digits (per-mask positions are
+    // re-sorted below, so only the key order matters; ~3x over std::sort on
+    // ~10M pairs)
+    {
+        std::vector<uint64_t> kb((size_t)nc);
+        std::vector<uint32_t> vb((size_t)nc);
+        const int passes = (2 * k + 15) / 16;
+        std::vector<int64_t> cnt(65536);
+        for (int p = 0; p < passes; ++p) {
+            int shift = 16 * p;
+            std::fill(cnt.begin(), cnt.end(), 0);
+            for (int64_t i = 0; i < nc; ++i) ++cnt[(ka[(size_t)i] >> shift) & 0xffff];
+            int64_t acc = 0;
+            for (int d = 0; d < 65536; ++d) { int64_t c = cnt[d]; cnt[d] = acc; acc += c; }
+            for (int64_t i = 0; i < nc; ++i) {
+                int64_t dst = cnt[(ka[(size_t)i] >> shift) & 0xffff]++;
+                kb[(size_t)dst] = ka[(size_t)i];
+                vb[(size_t)dst] = va[(size_t)i];
+            }
+            ka.swap(kb);
+            va.swap(vb);
+        }
+    }
+    const std::vector<uint64_t>& sk = ka;
 
     int bits = 2 * k;
     std::vector<int64_t> win_lo((size_t)m), win_hi((size_t)m);
@@ -609,7 +633,7 @@ int64_t capture_native(const uint64_t* fwd, const uint64_t* rc, int64_t n,
         if (w + cnt > cap) return -1;
         out_kmers[j] = winner;
         out_counts[j] = cnt;
-        for (int64_t t = lo; t < hi; ++t) out_pos[w++] = cand[t].second;
+        for (int64_t t = lo; t < hi; ++t) out_pos[w++] = va[(size_t)t];
         std::sort(out_pos + (w - cnt), out_pos + w);
     }
     return w;
