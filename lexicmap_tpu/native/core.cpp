@@ -133,8 +133,9 @@ int64_t wfa_align(const uint8_t* q, int64_t n, const uint8_t* t, int64_t m,
         if (has_oe) vOM = view(s - o - e, 0);
         if (has_e) { vEI = view(s - e, 1); vED = view(s - e, 2); }
         auto rd = [](const View& v, int32_t k) -> wfv_t {
-            int32_t i = k - v.lo;
-            return (v.p && i >= 0 && i < v.w) ? v.p[i] : NEG;
+            // single unsigned compare; views with w==0 always miss
+            uint32_t i = (uint32_t)(k - v.lo);
+            return (i < (uint32_t)v.w) ? v.p[i] : NEG;
         };
 
         for (int32_t idx = 0; idx < width; ++idx) {
