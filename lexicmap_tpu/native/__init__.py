@@ -57,12 +57,14 @@ def get_lib():
     f64p = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
     s8p = np.ctypeslib.ndpointer(dtype=np.int8, flags="C_CONTIGUOUS")
 
+    # raw pointers for the hottest per-HSP call: ndpointer validation
+    # (from_param + cast) costs more than the C work for short alignments
     lib.wfa_align.restype = ctypes.c_int64
     lib.wfa_align.argtypes = [
-        i8p, ctypes.c_int64, i8p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-        i8p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64,
     ]
     lib.chain2_forward.restype = None
     lib.chain2_forward.argtypes = [
@@ -128,14 +130,14 @@ def get_lib():
     ]
     lib.compare_prepare.restype = ctypes.c_int64
     lib.compare_prepare.argtypes = [
-        u64p, u32p, ctypes.c_int64,
-        i8p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_double,
-        i64p, i64p, i64p, i8p,
-        f64p, i64p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
     ]
     lib.capture_native.restype = ctypes.c_int64
     lib.capture_native.argtypes = [
@@ -163,10 +165,12 @@ def wfa_align_native(q: np.ndarray, t: np.ndarray, x=4, o=6, e=2,
     n, m = int(q.shape[0]), int(t.shape[0])
     cap = 2 * (n + m) + 16
     out = np.empty(cap, dtype=np.uint8)
+    q = np.ascontiguousarray(q, dtype=np.uint8)
+    t = np.ascontiguousarray(t, dtype=np.uint8)
     w = lib.wfa_align(
-        np.ascontiguousarray(q, dtype=np.uint8), n,
-        np.ascontiguousarray(t, dtype=np.uint8), m,
-        x, o, e, 1 if adaptive else 0, min_wf_len, max_dist_diff, out, cap,
+        q.ctypes.data, n, t.ctypes.data, m,
+        x, o, e, 1 if adaptive else 0, min_wf_len, max_dist_diff,
+        out.ctypes.data, cap,
     )
     if w < 0:
         return None
@@ -475,10 +479,12 @@ def compare_prepare_native(qk, qv, tcodes, mprefix, k, begin, end,
         scores = np.empty(cap, dtype=np.float64)
         prev = np.empty(cap, dtype=np.int64)
         n = lib.compare_prepare(
-            qk, qv, int(qk.shape[0]), tcodes, L, tab_ptr, int(bbits),
+            qk.ctypes.data, qv.ctypes.data, int(qk.shape[0]),
+            tcodes.ctypes.data, L, tab_ptr, int(bbits),
             int(mprefix), int(k), int(begin), int(end),
             int(band_base), int(band_count), float(max_gap),
-            aq, at, al, arc, scores, prev, cap,
+            aq.ctypes.data, at.ctypes.data, al.ctypes.data, arc.ctypes.data,
+            scores.ctypes.data, prev.ctypes.data, cap,
         )
         if n == -1:
             cap *= 4
