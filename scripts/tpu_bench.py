@@ -32,6 +32,12 @@ def main():
 
     import jax
 
+    # persistent compilation cache: the cold vmapped-kernel compile through
+    # the axon tunnel takes minutes; later runs start warm
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
     platform = jax.devices()[0].platform
     s = IndexSearcher(DEMO_DB, SearchOptions(engine="device"))
     if s.device_matcher is None:
@@ -65,7 +71,9 @@ def main():
             {
                 "metric": "tpu_device_search",
                 "platform": platform,
-                "kernel_ms_per_query": round(kernel_ms, 3),
+                # includes the host<->device transport round-trip; the pure
+                # on-device kernel time is ~0.25 ms (tests/test_pallas.py)
+                "dispatch_ms_per_query": round(kernel_ms, 3),
                 "batched_e2e_qpm": round(qpm, 1),
                 "batched_e2e_s_per_query": round(batch_s / 32, 4),
                 "masks": s.mask_set.m,
