@@ -391,6 +391,26 @@ def cmd_utils_remerge(args) -> int:
     return 0
 
 
+def _plot_seed_distances(plot_dir, gid, pos, ext=".png"):
+    """Histogram of distances between adjacent seed positions
+    (ref: seed-pos.go:50-75 -O/--plot-dir, gonum/plot -> matplotlib)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(plot_dir, exist_ok=True)
+    d = np.diff(np.unique(pos))
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.hist(np.minimum(d, 200), bins=40, color="#4477aa")
+    ax.set_xlabel("distance between adjacent seeds (bp, capped at 200)")
+    ax.set_ylabel("count")
+    ax.set_title(f"{gid} (n={d.shape[0] + 1} seed positions)")
+    fig.tight_layout()
+    fig.savefig(os.path.join(plot_dir, f"{gid}{ext}"), dpi=100)
+    plt.close(fig)
+
+
 def cmd_utils_seed_pos(args) -> int:
     """Seed position distributions (ref: seed-pos.go; needs --save-seed-pos).
 
@@ -422,6 +442,8 @@ def cmd_utils_seed_pos(args) -> int:
             pos = (vals >> np.uint32(2)).astype(np.int64)
             strand = (vals >> np.uint32(1)) & 1
             flag = vals & 1
+            if getattr(args, "plot_dir", ""):
+                _plot_seed_distances(args.plot_dir, gid, pos, args.plot_ext)
             if args.histogram:
                 d = np.diff(np.unique(pos))
                 bins = np.minimum(d // 10 * 10, 200)
@@ -700,6 +722,9 @@ def register_utils(sub) -> None:
     p.add_argument("-o", "--out-file", default="-")
     p.add_argument("-n", "--ref-name", default="")
     p.add_argument("--histogram", action="store_true")
+    p.add_argument("-O", "--plot-dir", default="",
+                   help="also write per-genome seed-distance histograms")
+    p.add_argument("--plot-ext", default=".png")
     p.set_defaults(func=cmd_utils_seed_pos)
 
     p = usub.add_parser("2blast", help="search TSV -> BLAST-style text")
