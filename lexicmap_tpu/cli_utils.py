@@ -386,7 +386,11 @@ def cmd_utils_remerge(args) -> int:
     """(ref: re-merge.go:40)"""
     from .index.merge import remerge
 
-    remerge(args.index)
+    try:
+        remerge(args.index)
+    except (RuntimeError, FileNotFoundError) as e:
+        print(f"remerge: {e}", file=sys.stderr)
+        return 1
     print("remerge done", file=sys.stderr)
     return 0
 

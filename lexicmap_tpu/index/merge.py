@@ -92,6 +92,16 @@ def remerge(outdir: str) -> None:
         os.path.join(tmp_dir, d) for d in os.listdir(tmp_dir) if d.startswith("batch_")
     )
     meta_path = os.path.join(tmp_dir, "merge_meta.json")
+    if not os.path.exists(meta_path):
+        # the build died during batch seeding, before the merge step started;
+        # per-batch tmp dirs are incomplete and cannot be merged
+        # (ref: docs/content/faqs/_index.md:48-78 — remerge resumes merging only)
+        raise RuntimeError(
+            f"{meta_path} not found: the build was interrupted BEFORE the "
+            f"merge step (only {len(batch_dirs)} batch dirs present, possibly "
+            "incomplete). remerge can only resume an interrupted MERGE; "
+            "rerun the full `index` command instead."
+        )
     with open(meta_path) as fh:
         meta = json.load(fh)
     merge_batches(tmp_dir, outdir, meta["chunks"])
