@@ -298,6 +298,10 @@ def build_parser() -> argparse.ArgumentParser:
     pi.add_argument("-M", "--mask-file", default="")
     pi.add_argument("-b", "--batch-size", type=int, default=IndexDefaults.BATCH_SIZE)
     pi.add_argument("-c", "--chunks", type=int, default=IndexDefaults.CHUNKS)
+    pi.add_argument("--max-open-files", type=int, default=1024,
+                    help="accepted for reference compatibility; this "
+                         "implementation keeps at most #chunks files open "
+                         "(ref: index.go:137)")
     pi.add_argument("--partitions", type=int, default=IndexDefaults.PARTITIONS)
     pi.add_argument("-g", "--max-genome", type=int, default=IndexDefaults.MAX_GENOME_SIZE)
     pi.add_argument("-l", "--min-seq-len", type=int, default=IndexDefaults.MIN_SEQ_LEN)
