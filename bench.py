@@ -72,7 +72,7 @@ def main():
     ctx = mp.get_context("fork")
     t0 = time.time()
     with ctx.Pool(workers) as pool:
-        list(pool.imap(_bench_one, [rec.seq] * n_queries, chunksize=1))
+        list(pool.imap_unordered(_bench_one, [rec.seq] * n_queries, chunksize=4))
     elapsed = (time.time() - t0) / n_queries
     qpm = 60.0 / elapsed
 
