@@ -207,3 +207,65 @@ def test_pure_python_cli_matches_native(tmp_path):
     python = run({"LEXICMAP_TPU_NO_NATIVE": "1"})
     assert native == python
     assert len(native.strip().split("\n")) >= 2
+
+
+def test_range_match_native_matches_numpy():
+    """Per-mask prefix-range matching: C pass vs the vectorized bisection."""
+    import numpy as np
+
+    from lexicmap_tpu.index.search import searchsorted_segments
+    from lexicmap_tpu.native import range_match_native
+    from lexicmap_tpu.utils.arrays import ranges_to_indices
+    from lexicmap_tpu.utils.kmers import kmer_lcp
+
+    rng = np.random.default_rng(21)
+    k, p, nmasks = 31, 15, 128
+    # synthetic per-mask sorted entry arrays with postings
+    seg_sizes = rng.integers(0, 40, nmasks)
+    entry_kmers = []
+    seg_lo = np.zeros(nmasks, dtype=np.int64)
+    seg_hi = np.zeros(nmasks, dtype=np.int64)
+    off = 0
+    for i, sz in enumerate(seg_sizes):
+        seg_lo[i] = off
+        arr = np.sort(rng.integers(0, 1 << (2 * k), int(sz), dtype=np.uint64))
+        entry_kmers.append(arr)
+        off += int(sz)
+        seg_hi[i] = off
+    entry_kmers = (
+        np.concatenate(entry_kmers) if off else np.empty(0, dtype=np.uint64)
+    )
+    n_entries = entry_kmers.shape[0]
+    entry_offsets = np.arange(n_entries + 1, dtype=np.int64)  # 1 posting each
+    values = rng.integers(0, 1 << 40, max(n_entries, 1), dtype=np.uint64)
+
+    # query k-mers: mostly copies of entries (hits guaranteed), some random
+    qkmers = rng.integers(0, 1 << (2 * k), nmasks, dtype=np.uint64)
+    for i in range(nmasks):
+        if seg_sizes[i] and rng.random() < 0.7:
+            qkmers[i] = entry_kmers[int(rng.integers(seg_lo[i], seg_hi[i]))]
+    suf = np.uint64((1 << (2 * (k - p))) - 1)
+    lb = qkmers & ~suf
+    rb = qkmers | suf
+
+    for want_rev in (False, True):
+        got = range_match_native(
+            entry_kmers, entry_offsets, values, seg_lo, seg_hi, lb, rb,
+            qkmers, k, want_rev,
+        )
+        assert got is not None
+        # numpy reference (same logic as the host fallback in _match_chunk)
+        e0 = searchsorted_segments(entry_kmers, seg_lo, seg_hi, lb, side="left")
+        e1 = searchsorted_segments(entry_kmers, seg_lo, seg_hi, rb, side="right")
+        counts = e1 - e0
+        nz = counts > 0
+        idx = ranges_to_indices(e0[nz], e1[nz])
+        qrow = np.repeat(np.nonzero(nz)[0], counts[nz])
+        flag_ok = (values[entry_offsets[idx]] & np.uint64(1)) == np.uint64(
+            1 if want_rev else 0
+        )
+        idx, qrow = idx[flag_ok], qrow[flag_ok]
+        lcp = kmer_lcp(entry_kmers[idx], qkmers[qrow], k)
+        assert got[0].tolist() == idx.tolist()
+        assert got[1].tolist() == qrow.tolist()
+        assert got[2].tolist() == lcp.tolist()
