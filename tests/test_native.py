@@ -269,3 +269,34 @@ def test_range_match_native_matches_numpy():
         assert got[0].tolist() == idx.tolist()
         assert got[1].tolist() == qrow.tolist()
         assert got[2].tolist() == lcp.tolist()
+
+
+def test_capture_codescend_matches_per_mask_argmin():
+    """All-masks XOR-argmin co-descent == per-mask trie descent."""
+    import numpy as np
+
+    from lexicmap_tpu.masks import MaskSet, xor_argmin_sorted
+    from lexicmap_tpu.native import capture_native_call, xor_argmin_batch_native
+
+    rng = np.random.default_rng(3)
+    k = 31
+    ms = MaskSet.generate(k, 2048, seed=5)
+    n = 3000
+    fwd = rng.integers(0, 1 << 62, n, dtype=np.uint64)
+    rc = rng.integers(0, 1 << 62, n, dtype=np.uint64)
+    kmers_out, counts, pos_flat = capture_native_call(
+        fwd, rc, None, ms.masks, k, ms.prefix_len, True
+    )
+    cand = np.sort(np.concatenate([fwd, rc]))
+    idx = xor_argmin_sorted(cand, ms.masks, k)
+    assert np.array_equal(cand[idx], kmers_out)
+    lo = np.searchsorted(cand, kmers_out, side="left")
+    hi = np.searchsorted(cand, kmers_out, side="right")
+    assert np.array_equal(hi - lo, counts)
+    assert pos_flat.shape[0] == counts.sum()
+
+    # batch nearest-mask: sorted-queries co-descent vs python trie descent
+    q = rng.integers(0, 1 << 62, 5000, dtype=np.uint64)
+    got = xor_argmin_batch_native(ms.masks, q, 2 * k)
+    want = xor_argmin_sorted(ms.masks, q, k)
+    assert np.array_equal(got, want)
