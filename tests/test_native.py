@@ -300,3 +300,26 @@ def test_capture_codescend_matches_per_mask_argmin():
     got = xor_argmin_batch_native(ms.masks, q, 2 * k)
     want = xor_argmin_sorted(ms.masks, q, k)
     assert np.array_equal(got, want)
+
+
+def test_kmers_fwd_rc_native_matches_numpy():
+    import numpy as np
+
+    import lexicmap_tpu.native as N
+    from lexicmap_tpu.utils.kmers import kmers_fwd_rc
+
+    rng = np.random.default_rng(4)
+    for L, k in ((100, 31), (5000, 31), (64, 15), (30, 31)):
+        codes = rng.integers(0, 4, L).astype(np.uint8)
+        f1, r1 = kmers_fwd_rc(codes, k)
+        saved = N._lib
+        import os
+
+        os.environ["LEXICMAP_TPU_NO_NATIVE"] = "1"
+        N._lib = None
+        try:
+            f2, r2 = kmers_fwd_rc(codes, k)
+        finally:
+            N._lib = saved
+            os.environ.pop("LEXICMAP_TPU_NO_NATIVE", None)
+        assert np.array_equal(f1, f2) and np.array_equal(r1, r2), (L, k)
