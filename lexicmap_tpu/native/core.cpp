@@ -267,6 +267,8 @@ void chain2_forward(const int64_t* qb, const int64_t* tb, const int64_t* ln,
                     double max_gap, double* max_scores, int64_t* prev_idx) {
     max_scores[0] = (double)ln[0];
     prev_idx[0] = 0;
+    int64_t max_ln = 0;
+    for (int64_t j = 0; j < n; ++j) max_ln = std::max(max_ln, ln[j]);
     for (int64_t i = 1; i < n; ++i) {
         int64_t aq = qb[i], at = tb[i];
         double m = (double)ln[i];
@@ -274,6 +276,12 @@ void chain2_forward(const int64_t* qb, const int64_t* tb, const int64_t* ln,
         int64_t bcount = 0;
         for (int64_t j = i - 1; j >= 0; --j) {
             int64_t bq2 = qb[j], bt2 = tb[j];
+            // monotone early exit: qb is ascending so aq - qb[j] only grows as
+            // j decreases; once the band test must fail for EVERY remaining
+            // non-skipped anchor, the scan's outcome is already decided
+            // (skipped anchors between here and the eventual breaking one
+            // contribute nothing)
+            if (bcount >= band_count && aq - bq2 - max_ln > band_base) break;
             if (bq2 == aq || bt2 > at) continue;
             ++bcount;
             int64_t bbase = aq - bq2 - ln[j];
