@@ -68,13 +68,29 @@ int64_t wfa_align(const uint8_t* q, int64_t n, const uint8_t* t, int64_t m,
     struct Meta { int32_t lo; int32_t width; int64_t off; int32_t tlo; int32_t thi; };
     std::vector<Meta> meta;
     meta.reserve(1024);
-    std::vector<wfv_t> arena;
-    arena.reserve(1 << 16);
+    // growable UNINITIALIZED arena: every M/I/D cell of a row is written by
+    // the cell loop before it is ever read, so value-initialization
+    // (vector::resize's NEG fill) would only double the memory traffic.
+    // Row 0 is the one exception and is initialized explicitly below.
+    struct Arena {
+        wfv_t* p = nullptr;
+        size_t sz = 0, cap = 0;
+        ~Arena() { std::free(p); }
+        int64_t grow(size_t cells) {
+            if (sz + cells > cap) {
+                cap = std::max(cap * 2, sz + cells + 1024);
+                p = (wfv_t*)std::realloc(p, cap * sizeof(wfv_t));
+            }
+            int64_t off = (int64_t)sz;
+            sz += cells;
+            return off;
+        }
+        wfv_t* data() { return p; }
+    } arena;
 
     auto alloc_wf = [&](int32_t lo, int32_t width) -> int64_t {
-        int64_t off = (int64_t)arena.size();
-        arena.resize(arena.size() + (size_t)(3 * width), NEG);
-        return off;
+        (void)lo;
+        return arena.grow((size_t)(3 * width));
     };
     auto getv = [&](int64_t s, int which, int32_t k) -> wfv_t {
         if (s < 0 || (size_t)s >= meta.size()) return NEG;
@@ -82,13 +98,15 @@ int64_t wfa_align(const uint8_t* q, int64_t n, const uint8_t* t, int64_t m,
         if (mt.width <= 0) return NEG;
         int32_t idx = k - mt.lo;
         if (idx < 0 || idx >= mt.width) return NEG;
-        return arena[(size_t)(mt.off + which * mt.width + idx)];
+        return arena.data()[(size_t)(mt.off + which * mt.width + idx)];
     };
 
     {
         meta.push_back({0, 1, 0, 0, 0});
         int64_t off = alloc_wf(0, 1);
-        arena[(size_t)off] = extend_match(q, t, n, m, 0, 0);  // M
+        arena.data()[(size_t)off] = (wfv_t)extend_match(q, t, n, m, 0, 0);  // M
+        arena.data()[(size_t)off + 1] = NEG;  // I
+        arena.data()[(size_t)off + 2] = NEG;  // D
     }
 
     int64_t s_final = -1;
