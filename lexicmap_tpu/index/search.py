@@ -35,7 +35,7 @@ from ..constants import (
     SearchDefaults,
 )
 from ..masks import MaskSet
-from ..ops.align import align, alignment_text, score_and_evalue
+from ..ops.align import align, alignment_text, score_and_evalue, score_to_bit_evalue
 from ..ops.wfa import wfa_align
 from ..ops.chaining import Anchors, ChainingOptions, chain, clear_substr_pairs, seed_weight
 from ..ops.chaining2 import Chain2Result, Chaining2Options
@@ -734,40 +734,59 @@ class IndexSearcher:
                 qcodes, tcodes, c.qbegin, c.qend + 1, start, end,
                 ext2, c.tbegin, c.max_ext_len, rc,
             )
-            cigar = wfa_align(qseq, tseq)
-            if cigar is None:  # fallback: banded Gotoh
-                cigar = align(qseq, tseq)
-            trimmed = cigar.trimmed_ops()
-            score, bits, evalue = score_and_evalue(
-                trimmed, len(qseq), self.total_bases
-            )
+            # fast path (no -a output): WFA + trimmed stats in one native
+            # call; identical numbers to the RLE-tuple path
+            fast = None
+            if not opt.output_seq:
+                from ..native import wfa_align_stats_native
+
+                fast = wfa_align_stats_native(qseq, tseq)
+            if fast is not None:
+                stats, _ops = fast
+                if stats[1] == 0:  # empty trimmed region -> e-value inf
+                    continue
+                a_len, a_matches, a_gaps = int(stats[1]), int(stats[2]), int(stats[4])
+                cg_qb, cg_qe = int(stats[5]), int(stats[6])
+                cg_tb, cg_te = int(stats[7]), int(stats[8])
+                score = int(stats[9])
+                bits, evalue = score_to_bit_evalue(score, len(qseq), self.total_bases)
+                cigar = None
+            else:
+                cigar = wfa_align(qseq, tseq)
+                if cigar is None:  # fallback: banded Gotoh
+                    cigar = align(qseq, tseq)
+                trimmed = cigar.trimmed_ops()
+                score, bits, evalue = score_and_evalue(
+                    trimmed, len(qseq), self.total_bases
+                )
+                a_len, a_matches, a_gaps = cigar.align_len, cigar.matches, cigar.gaps
+                cg_qb, cg_qe = cigar.qbegin, cigar.qend
+                cg_tb, cg_te = cigar.tbegin, cigar.tend
             c.score, c.bit_score, c.evalue = score, bits, evalue
             if evalue > opt.max_evalue:
                 continue
 
             c.qbegin -= s1
             c.qend += e1
-            c.qbegin = c.qbegin + cigar.qbegin - 1
-            c.qend = c.qend - (len(qseq) - cigar.qend)
+            c.qbegin = c.qbegin + cg_qb - 1
+            c.qend = c.qend - (len(qseq) - cg_qe)
             if rc:
                 c.tbegin -= e2
                 c.tend += s2
-                c.tbegin = c.tbegin + (len(tseq) - cigar.tend)
-                c.tend = c.tend - (cigar.tbegin - 1)
+                c.tbegin = c.tbegin + (len(tseq) - cg_te)
+                c.tend = c.tend - (cg_tb - 1)
             else:
                 c.tbegin -= s2
                 c.tend += e2
-                c.tbegin = c.tbegin + (cigar.tbegin - 1)
-                c.tend = c.tend - (len(tseq) - cigar.tend)
+                c.tbegin = c.tbegin + (cg_tb - 1)
+                c.tend = c.tend - (len(tseq) - cg_te)
 
             c.aligned_bases_q = c.qend - c.qbegin + 1
-            c.aligned_length = cigar.align_len
-            c.matched_bases = cigar.matches
-            c.gaps = cigar.gaps
+            c.aligned_length = a_len
+            c.matched_bases = a_matches
+            c.gaps = a_gaps
             c.aligned_fraction = min(c.aligned_bases_q / qlen * 100, 100.0)
-            c.pident = (
-                c.matched_bases / cigar.align_len * 100 if cigar.align_len else 0.0
-            )
+            c.pident = c.matched_bases / a_len * 100 if a_len else 0.0
             if c.aligned_fraction < opt.min_qcov_hsp or c.pident < opt.min_identity:
                 continue
 

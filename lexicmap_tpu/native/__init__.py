@@ -66,6 +66,13 @@ def get_lib():
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_void_p, ctypes.c_int64,
     ]
+    lib.wfa_align_stats.restype = ctypes.c_int64
+    lib.wfa_align_stats.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+    ]
     lib.chain2_forward.restype = None
     lib.chain2_forward.argtypes = [
         i64p, i64p, i64p, ctypes.c_int64,
@@ -184,6 +191,30 @@ def wfa_align_native(q: np.ndarray, t: np.ndarray, x=4, o=6, e=2,
     return [
         (chr(buf[s]), int(e - s)) for s, e in zip(starts, ends)
     ]
+
+
+def wfa_align_stats_native(q, t, x=4, o=6, e=2,
+                           adaptive=True, min_wf_len=10, max_dist_diff=50):
+    """WFA + single-pass trimmed-alignment stats.  Returns
+    (stats int64[10], ops_bytes) or None (fallback needed); see core.cpp
+    wfa_align_stats for the stats layout."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n, m = int(q.shape[0]), int(t.shape[0])
+    cap = 2 * (n + m) + 16
+    out = np.empty(cap, dtype=np.uint8)
+    stats = np.zeros(10, dtype=np.int64)
+    q = np.ascontiguousarray(q, dtype=np.uint8)
+    t = np.ascontiguousarray(t, dtype=np.uint8)
+    w = lib.wfa_align_stats(
+        q.ctypes.data, n, t.ctypes.data, m,
+        x, o, e, 1 if adaptive else 0, min_wf_len, max_dist_diff,
+        out.ctypes.data, cap, stats.ctypes.data,
+    )
+    if w < 0:
+        return None
+    return stats, out[:w]
 
 
 def chain2_forward_native(qb, tb, ln, band_base, band_count, max_gap):

@@ -277,6 +277,51 @@ int64_t wfa_align(const uint8_t* q, int64_t n, const uint8_t* t, int64_t m,
     return w;
 }
 
+// WFA + alignment statistics in one call: after aligning, a single pass over
+// the raw op bytes computes everything ops/align.py's trim_ops + _finalize +
+// score_and_evalue derive from the RLE tuples (ref: trimOps
+// lib-index-search-util.go:238-257, scoreAndEvalue :259-303 with BLAST
+// match 2 / mismatch -3 / gapOpen 5 / gapExt 2).
+// stats[10]: [n_ops, align_len, matches, mismatches, gaps,
+//             qbegin(1-based), qend, tbegin(1-based), tend, raw_score];
+// align_len == 0 means no match run (empty trimmed region).
+int64_t wfa_align_stats(const uint8_t* q, int64_t n, const uint8_t* t, int64_t m,
+                        int32_t x, int32_t o, int32_t e,
+                        int32_t adaptive, int32_t min_wf_len, int32_t max_dist_diff,
+                        uint8_t* ops_out, int64_t ops_cap, int64_t* stats) {
+    int64_t w = wfa_align(q, n, t, m, x, o, e, adaptive, min_wf_len,
+                          max_dist_diff, ops_out, ops_cap);
+    for (int i = 0; i < 10; ++i) stats[i] = 0;
+    if (w < 0) return w;
+    stats[0] = w;
+    int64_t first_m = -1, last_m = -1;
+    for (int64_t i = 0; i < w; ++i)
+        if (ops_out[i] == 'M') { if (first_m < 0) first_m = i; last_m = i; }
+    if (first_m < 0) return w;
+    int64_t qpos = 0, tpos = 0, qpre = 0, tpre = 0, qend = 0, tend = 0;
+    int64_t matches = 0, mism = 0, gaps = 0, score = 0;
+    uint8_t prev = 0;
+    for (int64_t i = 0; i < w; ++i) {
+        uint8_t op = ops_out[i];
+        if (i == first_m) { qpre = qpos; tpre = tpos; }
+        if (i >= first_m && i <= last_m) {
+            if (op == 'M') { ++matches; score += 2; }
+            else if (op == 'X') { ++mism; score -= 3; }
+            else { ++gaps; score -= 2; if (op != prev) score -= 5; }
+        }
+        if (op == 'M' || op == 'X' || op == 'I') ++qpos;
+        if (op == 'M' || op == 'X' || op == 'D') ++tpos;
+        if (i == last_m) { qend = qpos; tend = tpos; }
+        prev = op;
+    }
+    stats[1] = last_m - first_m + 1;
+    stats[2] = matches; stats[3] = mism; stats[4] = gaps;
+    stats[5] = qpre + 1; stats[6] = qend;
+    stats[7] = tpre + 1; stats[8] = tend;
+    stats[9] = score;
+    return w;
+}
+
 // ---------------------------------------------------------------------------
 // Chainer2 forward pass (ref: lib-chaining2.go:222-307; ops/chaining2.py)
 

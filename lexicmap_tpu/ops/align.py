@@ -313,13 +313,24 @@ def score_and_evalue(
             score += n * mismatch
         elif op in ("I", "D", "H"):
             score -= gap_open + n * gap_ext
+    bits, evalue = score_to_bit_evalue(score, qlen, total_bases, lam, kk)
+    return score, bits, evalue
+
+
+def score_to_bit_evalue(
+    score: int, qlen: int, total_bases: int, lam: float = 0.625, kk: float = 0.41
+) -> tuple[int, float]:
+    """(bit score, e-value) from a raw score (shared by the tuple-based and
+    native-stats paths; ref: scoreAndEvalue, lib-index-search-util.go:259)."""
+    import math
+
     s = score
     # any odd score is rounded down before the e-value (NCBI BLAST behavior)
     if s & 1 == 1:
         s -= 1
     bit_score = (lam * s - math.log(kk)) / math.log(2)
     evalue = float(total_bases) * math.pow(2.0, -bit_score) * qlen
-    return score, int(bit_score), evalue
+    return int(bit_score), evalue
 
 
 def alignment_text(
