@@ -98,9 +98,10 @@ def get_lib():
     u32p = np.ctypeslib.ndpointer(dtype=np.uint32, flags="C_CONTIGUOUS")
     lib.chain2_backtrack.restype = ctypes.c_int64
     lib.chain2_backtrack.argtypes = [
-        i64p, i64p, i64p, f64p, i64p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_double, ctypes.c_int32, ctypes.c_double,
-        i64p, f64p, ctypes.c_int64, i64p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
     ]
     lib.xor_argmin_batch.restype = None
     lib.xor_argmin_batch.argtypes = [
@@ -366,14 +367,16 @@ def chain2_backtrack_native(qb, tb, ln, scores, prev, min_score, min_align_len, 
     out = np.empty(cap * 8, dtype=np.int64)
     out_p = np.empty(cap, dtype=np.float64)
     totals = np.zeros(3, dtype=np.int64)
+    qb = np.ascontiguousarray(qb, dtype=np.int64)
+    tb = np.ascontiguousarray(tb, dtype=np.int64)
+    ln = np.ascontiguousarray(ln, dtype=np.int64)
+    scores = np.ascontiguousarray(scores, dtype=np.float64)
+    prev = np.ascontiguousarray(prev, dtype=np.int64)
     w = lib.chain2_backtrack(
-        np.ascontiguousarray(qb, dtype=np.int64),
-        np.ascontiguousarray(tb, dtype=np.int64),
-        np.ascontiguousarray(ln, dtype=np.int64),
-        np.ascontiguousarray(scores, dtype=np.float64),
-        np.ascontiguousarray(prev, dtype=np.int64),
+        qb.ctypes.data, tb.ctypes.data, ln.ctypes.data,
+        scores.ctypes.data, prev.ctypes.data,
         n, float(min_score), int(min_align_len), float(heur),
-        out, out_p, cap, totals,
+        out.ctypes.data, out_p.ctypes.data, cap, totals.ctypes.data,
     )
     return out[: w * 8].reshape(w, 8), out_p[:w], totals
 
