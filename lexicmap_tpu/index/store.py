@@ -107,10 +107,17 @@ def unpack_2bit(packed: np.ndarray, start: int, end: int) -> np.ndarray:
     b1 = (end + 3) // 4
     window = packed[b0:b1]
     out = np.empty(window.shape[0] * 4, dtype=np.uint8)
-    out[0::4] = (window >> 6) & 3
-    out[1::4] = (window >> 4) & 3
-    out[2::4] = (window >> 2) & 3
-    out[3::4] = window & 3
+    try:
+        from ..native import unpack_2bit_native
+
+        native = unpack_2bit_native(window, out)
+    except ImportError:  # pragma: no cover
+        native = False
+    if not native:
+        out[0::4] = (window >> 6) & 3
+        out[1::4] = (window >> 4) & 3
+        out[2::4] = (window >> 2) & 3
+        out[3::4] = window & 3
     off = start - b0 * 4
     return out[off : off + (end - start)]
 

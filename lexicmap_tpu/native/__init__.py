@@ -126,6 +126,8 @@ def get_lib():
         ctypes.c_int64, ctypes.c_int64,
         i64p, i64p, i64p, i8p, ctypes.c_int64,
     ]
+    lib.unpack_2bit_window.restype = None
+    lib.unpack_2bit_window.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
     lib.kmers_fwd_rc_batch.restype = None
     lib.kmers_fwd_rc_batch.argtypes = [i8p, ctypes.c_int64, ctypes.c_int32, u64p, u64p]
     lib.range_match.restype = ctypes.c_int64
@@ -437,6 +439,19 @@ def compare_probe_codes_native(qk, qv, tcodes, mprefix, k, begin, end, qtab=None
             cap *= 4
             continue
         return aq[:w], at[:w], al[:w], arc[:w].astype(bool)
+
+
+def unpack_2bit_native(window, out):
+    """Decode 4 MSB-first 2-bit codes per byte of `window` into `out`
+    (len(out) == 4*len(window)).  Returns False if the lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    lib.unpack_2bit_window(
+        np.ascontiguousarray(window, dtype=np.uint8).ctypes.data,
+        int(window.shape[0]), out.ctypes.data,
+    )
+    return True
 
 
 def kmers_fwd_rc_native(codes, k):

@@ -1282,6 +1282,18 @@ void dust_batch(const uint64_t* kmers, int64_t n, int32_t k, uint8_t* out) {
     for (int64_t i = 0; i < n; ++i) out[i] = dust_scalar(kmers[i], k) ? 1 : 0;
 }
 
+// 2-bit unpack: 4 codes per byte, MSB-first (mirrors index/store.py
+// unpack_2bit)
+void unpack_2bit_window(const uint8_t* packed, int64_t nbytes, uint8_t* out) {
+    for (int64_t i = 0; i < nbytes; ++i) {
+        uint8_t b = packed[i];
+        out[4 * i] = (b >> 6) & 3;
+        out[4 * i + 1] = (b >> 4) & 3;
+        out[4 * i + 2] = (b >> 2) & 3;
+        out[4 * i + 3] = b & 3;
+    }
+}
+
 // Forward + reverse-complement k-mers at every position, one rolling pass
 // (mirrors utils/kmers.py kmers_fwd_rc; first base at the top of the word).
 void kmers_fwd_rc_batch(const uint8_t* codes, int64_t L, int32_t k,
