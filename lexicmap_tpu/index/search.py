@@ -878,18 +878,22 @@ class IndexSearcher:
         if len(hits) > 1 and (os.cpu_count() or 1) > 1 and not in_pool_worker:
             # per-genome alignment fans out over threads: the native WFA /
             # chaining calls release the GIL (the reference's per-genome
-            # goroutines, ref: lib-index-search.go:2722-2727)
-            from concurrent.futures import ThreadPoolExecutor
+            # goroutines, ref: lib-index-search.go:2722-2727).  The executor
+            # persists across queries (thread spawn costs per query add up).
+            ex = getattr(self, "_phase4_pool", None)
+            if ex is None:
+                from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=min(4, os.cpu_count() or 1)) as ex:
-                futs = [
-                    ex.submit(self._align_genome, qcodes, hit, anchors, paths, cpr)
-                    for hit, anchors, paths in hits
-                ]
-                for f in futs:
-                    r = f.result()
-                    if r is not None:
-                        results.append(r)
+                ex = ThreadPoolExecutor(max_workers=min(4, os.cpu_count() or 1))
+                self._phase4_pool = ex
+            futs = [
+                ex.submit(self._align_genome, qcodes, hit, anchors, paths, cpr)
+                for hit, anchors, paths in hits
+            ]
+            for f in futs:
+                r = f.result()
+                if r is not None:
+                    results.append(r)
         else:
             for hit, anchors, paths in hits:
                 r = self._align_genome(qcodes, hit, anchors, paths, cpr)
