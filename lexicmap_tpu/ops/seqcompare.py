@@ -113,12 +113,14 @@ class SeqComparator:
         self.qk = kk[order]
         self.qv = vv[order]
         # bucket table over the top 16 bits for the native probe: valid for
-        # any min_prefix >= 8 (the probe range shares its top 2m bits)
+        # any min_prefix >= 8 (the probe range shares its top 2m bits).
+        # Built with bincount+cumsum — O(n + 2^bits) — NOT searchsorted of
+        # 65537 probes, which dominated per-fragment indexing in gsearch.
         self.qtab_bits = min(16, 2 * k - 2)
-        pref = self.qk >> np.uint64(2 * k - self.qtab_bits)
-        self.qtab = np.searchsorted(
-            pref, np.arange((1 << self.qtab_bits) + 1, dtype=np.uint64)
-        ).astype(np.uint32)
+        pref = (self.qk >> np.uint64(2 * k - self.qtab_bits)).astype(np.int64)
+        counts = np.bincount(pref, minlength=1 << self.qtab_bits)
+        self.qtab = np.zeros((1 << self.qtab_bits) + 1, dtype=np.uint32)
+        np.cumsum(counts, out=self.qtab[1:], dtype=np.uint32)
 
     def compare(
         self, begin: int, end: int, tcodes: np.ndarray, query_len: int
