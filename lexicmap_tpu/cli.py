@@ -175,7 +175,13 @@ def cmd_search(args) -> int:
         keep_genomes_without_taxid=args.keep_genomes_without_taxid,
     )
     t0 = time.time()
-    idx = IndexSearcher(args.index, opt)
+    try:
+        idx = IndexSearcher(args.index, opt)
+    except (OSError, ValueError, KeyError) as e:
+        # clean CLI error for a missing/corrupt index dir (the reference
+        # aborts via checkError, ref: util-cli.go:35-40)
+        print(f"error: failed to load index {args.index}: {e}", file=sys.stderr)
+        return 1
     if not args.quiet:
         print(f"index loaded in {time.time() - t0:.2f}s", file=sys.stderr)
 
@@ -196,6 +202,21 @@ def cmd_search(args) -> int:
     n = 0
     matched = 0
     t1 = time.time()
+
+    # live throughput ticker (ref: search.go:449-453,608-616): periodically
+    # report processed-query count + speed to stderr while searching
+    _tick_state = [t1]
+
+    def tick():
+        now = time.time()
+        if not args.quiet and now - _tick_state[0] >= 5.0:
+            _tick_state[0] = now
+            el = now - t1
+            print(
+                f"processed queries: {n}, speed: {n / el * 60:.3f} queries per minute",
+                file=sys.stderr,
+            )
+
     workers = max(1, args.max_query_conc)
     if workers > 1:
         # fork-based query worker pool (the reference's -J concurrency,
@@ -215,6 +236,7 @@ def cmd_search(args) -> int:
                 chunksize=1,
             ):
                 n += 1
+                tick()
                 if rows:
                     matched += 1
                     for row in rows:
@@ -230,6 +252,7 @@ def cmd_search(args) -> int:
             if not batch:
                 break
             n += len(batch)
+            tick()
             many = idx.search_many([r.seq for r in batch])
             for rec, results in zip(batch, many):
                 if results:
@@ -241,6 +264,7 @@ def cmd_search(args) -> int:
     else:
         for rec in iter_queries():
             n += 1
+            tick()
             if len(rec.seq) < idx.k:
                 continue
             results = idx.search_bytes(rec.seq)

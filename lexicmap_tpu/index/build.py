@@ -552,13 +552,22 @@ def _emit_postings(
 def _filter_kmer_freq(masks: np.ndarray, kmers: np.ndarray, max_freq: int) -> np.ndarray:
     """Keep only the first max_freq occurrences of each (mask, kmer) pair
     (ref: lib-index-build.go:737-750)."""
-    keep = np.ones(masks.shape[0], dtype=bool)
-    seen: dict[tuple[int, int], int] = {}
-    for i, (m, km) in enumerate(zip(masks, kmers)):
-        c = seen.get((int(m), int(km)), 0) + 1
-        seen[(int(m), int(km))] = c
-        if c > max_freq:
-            keep[i] = False
+    n = masks.shape[0]
+    if n == 0:
+        return np.ones(0, dtype=bool)
+    # occurrence ordinal of each (mask, kmer) pair in original order:
+    # stable-sort groups the pairs while preserving first-seen order inside
+    # each group, so rank-within-group = arange - group_start
+    order = np.lexsort((kmers, masks))  # stable: ties keep original order
+    sm = masks[order]
+    sk = kmers[order]
+    new_grp = np.empty(n, dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = (sk[1:] != sk[:-1]) | (sm[1:] != sm[:-1])
+    group_start = np.maximum.accumulate(np.where(new_grp, np.arange(n), 0))
+    rank = np.arange(n) - group_start
+    keep = np.empty(n, dtype=bool)
+    keep[order] = rank < max_freq
     return keep
 
 

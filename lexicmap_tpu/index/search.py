@@ -427,19 +427,18 @@ class IndexSearcher:
                 else:
                     eidx = np.empty(0, dtype=np.int64)
                     mi = qrow = lcp = eidx
-            if True:
-                if eidx.shape[0]:
-                    v_idx = _ranges_to_indices(
-                        np.asarray(rdr.entry_offsets[eidx]),
-                        np.asarray(rdr.entry_offsets[eidx + 1]),
-                    )
-                    per = np.asarray(rdr.entry_offsets[eidx + 1]) - np.asarray(
-                        rdr.entry_offsets[eidx]
-                    )
-                    all_vals.append(np.asarray(rdr.values[v_idx]))
-                    all_lcp.append(np.repeat(lcp, per))
-                    all_qloc_entry.append(np.repeat(mi[qrow], per))
-                    all_rev.append(np.zeros(int(per.sum()), dtype=bool))
+            if eidx.shape[0]:
+                v_idx = _ranges_to_indices(
+                    np.asarray(rdr.entry_offsets[eidx]),
+                    np.asarray(rdr.entry_offsets[eidx + 1]),
+                )
+                per = np.asarray(rdr.entry_offsets[eidx + 1]) - np.asarray(
+                    rdr.entry_offsets[eidx]
+                )
+                all_vals.append(np.asarray(rdr.values[v_idx]))
+                all_lcp.append(np.repeat(lcp, per))
+                all_qloc_entry.append(np.repeat(mi[qrow], per))
+                all_rev.append(np.zeros(int(per.sum()), dtype=bool))
 
             # ---- suffix search (reversed k-mers assigned to this chunk) ----
             insel = (rnew >= mb) & (rnew < me)
@@ -960,6 +959,7 @@ class IndexSearcher:
             return [self.search(c) for c in codes]
 
         valid = [i for i, c in enumerate(codes) if c.shape[0] >= self.k]
+        batch_pos = {i: b for b, i in enumerate(valid)}
         masked = {i: self._mask_query(codes[i]) for i in valid}
         if valid:
             batch = np.stack([masked[i][0] for i in valid])
@@ -969,9 +969,8 @@ class IndexSearcher:
             if i not in masked:
                 out.append([])
                 continue
-            bpos = valid.index(i)
             out.append(
-                self.search(c, premasked=masked[i], dev_hits_pre=dev[bpos])
+                self.search(c, premasked=masked[i], dev_hits_pre=dev[batch_pos[i]])
             )
         return out
 

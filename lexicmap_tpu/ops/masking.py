@@ -17,8 +17,8 @@ Semantics implemented here (reconstructed; see masks.py docstring):
   ref: lib-index-build.go:1196).
 
 The host implementation below is a vectorized bit-trie descent over the sorted
-candidate k-mer array (NumPy).  The batched TPU version lives in
-ops/masking_jax.py.
+candidate k-mer array (NumPy).  The batched TPU capture kernel lives in
+parallel/kernels.py (mask_capture_scores).
 """
 
 from __future__ import annotations

@@ -157,3 +157,25 @@ def test_desert_filling_bounds_gaps(tiny_db):
     # repetitive/filtered regions; allow a little slack
     frac_ok = float((gaps <= opt.seed_max_desert).mean())
     assert frac_ok > 0.95, f"only {frac_ok:.2%} of gaps <= {opt.seed_max_desert}"
+
+
+def test_filter_kmer_freq_matches_bruteforce():
+    """Vectorized first-max_freq-per-(mask,kmer) filter equals the dict loop
+    (ref: lib-index-build.go:737-750)."""
+    from lexicmap_tpu.index.build import _filter_kmer_freq
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    masks = rng.integers(0, 37, n).astype(np.int64)
+    kmers = rng.integers(0, 11, n).astype(np.uint64)
+    for max_freq in (1, 2, 5):
+        got = _filter_kmer_freq(masks, kmers, max_freq)
+        seen: dict = {}
+        want = np.ones(n, dtype=bool)
+        for i, (m, km) in enumerate(zip(masks, kmers)):
+            c = seen.get((int(m), int(km)), 0) + 1
+            seen[(int(m), int(km))] = c
+            if c > max_freq:
+                want[i] = False
+        assert np.array_equal(got, want)
+    assert _filter_kmer_freq(np.empty(0, np.int64), np.empty(0, np.uint64), 1).shape == (0,)
