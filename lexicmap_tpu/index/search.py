@@ -570,6 +570,151 @@ class IndexSearcher:
     # ------------------------------------------------------------------
     # phase 4: alignment
 
+    def _align_genome_native(self, qcodes, hit: GenomeHit, anchors: Anchors, paths, cpr):
+        """Fused native phase 4: one C call per genome runs pseudo-alignment,
+        contig assignment, dedup, extension, WFA and scoring for every chain
+        window (core.cpp align_paths); this method only prepares the target
+        windows and assembles SeqDetails from the returned rows.  Returns
+        NotImplemented when the caller must use the per-chain Python path.
+        Same semantics as the loop in _align_genome (ref: falin,
+        lib-index-search.go:1845-2720)."""
+        from ..native import align_paths_native, get_lib
+
+        if get_lib() is None or cpr.qk is None:
+            return NotImplemented
+        opt = self.opt
+        k = self.k
+        qlen = qcodes.shape[0]
+        ext_len = opt.extend_length
+        store = self.genome_stores[hit.genome_batch]
+        gidx = hit.genome_index
+
+        windows = []
+        metas = []
+        trec = None
+        for path in paths:
+            first = path[0]
+            last = path[-1]
+            qb = int(anchors.qbegin[first])
+            tb = int(anchors.tbegin[first])
+            qe = int(anchors.qbegin[last]) + int(anchors.length[last]) - 1
+            te = int(anchors.tbegin[last]) + int(anchors.length[last]) - 1
+            if len(path) == 1:
+                rc = bool(anchors.qrc[last]) != bool(anchors.trc[last])
+            else:
+                rc = tb > int(anchors.tbegin[last])
+            if rc:
+                t_begin = max(int(anchors.tbegin[last]) - ext_len, 0)
+                t_end = tb + int(anchors.length[last]) - 1 + ext_len
+            else:
+                t_begin = max(tb - ext_len, 0)
+                t_end = te + ext_len
+            q_begin = qb - min(qb, ext_len)
+            q_end = qe + min(qlen - qe - 1, ext_len)
+
+            trec = store.subseq(gidx, t_begin, t_end)
+            tcodes = np.frombuffer(trec.seq, dtype=np.uint8)
+            if tcodes.shape[0] < t_end - t_begin + 1:
+                t_end -= t_end - t_begin + 1 - tcodes.shape[0]
+            if rc:
+                tcodes = (np.uint8(3) - tcodes)[::-1]
+            windows.append(np.ascontiguousarray(tcodes))
+            metas.append((q_begin, q_end, t_begin, t_end, rc, len(path)))
+
+        if trec is None:
+            return None
+        t_len = np.array([w.shape[0] for w in windows], dtype=np.int64)
+        t_off = np.zeros(len(windows), dtype=np.int64)
+        np.cumsum(t_len[:-1], out=t_off[1:])
+        tbuf = np.concatenate(windows) if windows else np.zeros(0, dtype=np.uint8)
+        copt = cpr.opt.chaining
+        rows = align_paths_native(
+            qcodes, cpr.qk, cpr.qv, getattr(cpr, "qtab", None),
+            getattr(cpr, "qtab_bits", 0),
+            cpr.k, cpr.opt.min_prefix,
+            copt.band_base, copt.band_count, float(copt.max_gap),
+            float(copt.min_score), int(copt.min_align_len),
+            float(copt.heuristic_kmer_pident_threshold),
+            tbuf, t_off, t_len,
+            np.array([m[0] for m in metas], dtype=np.int64),
+            np.array([m[1] for m in metas], dtype=np.int64),
+            np.array([m[2] for m in metas], dtype=np.int64),
+            np.array([m[3] for m in metas], dtype=np.int64),
+            np.array([1 if m[4] else 0 for m in metas], dtype=np.uint8),
+            np.asarray(trec.seq_sizes, dtype=np.int64), self.contig_interval, k,
+            opt.extend_length2, self.total_bases, opt.max_evalue,
+            opt.min_qcov_hsp, opt.min_identity,
+        )
+        if rows is None:
+            return NotImplemented
+        if rows.shape[0] == 0:
+            return None
+
+        hit.genome_size = trec.genome_size
+        hit.num_seqs = trec.num_seqs
+        hit.genome_id = trec.id
+        n_chunks, chunk_idx = self.genome_chunk_idx.get(hit.batch_genome_index, (1, 0))
+
+        from ..ops.seqcompare import SeqComparatorResult
+
+        sds: list[SeqDetail] = []
+        gids = rows[:, 1].astype(np.int64)
+        bounds = np.nonzero(np.diff(gids))[0] + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [rows.shape[0]]])
+        for s, epos in zip(starts, ends):
+            grp = rows[s:epos]
+            path_idx = int(grp[0, 0])
+            i_seq = int(grp[0, 2])
+            rc = bool(grp[0, 17])
+            kept = []
+            max_sim = 0.0
+            for row in grp:
+                c = Chain2Result(
+                    n_anchors=int(row[16]),
+                    qbegin=int(row[3]), qend=int(row[4]),
+                    tbegin=int(row[5]), tend=int(row[6]),
+                    aligned_length=int(row[7]), matched_bases=int(row[8]),
+                    gaps=int(row[9]), pident=float(row[10]),
+                    aligned_fraction=float(row[11]),
+                    aligned_bases_q=int(row[12]),
+                    score=int(row[13]), bit_score=int(row[14]),
+                    evalue=float(row[15]),
+                )
+                sim = float(c.bit_score) * c.pident
+                if sim > max_sim:
+                    max_sim = sim
+                kept.append(c)
+            r2 = SeqComparatorResult()
+            r2.update2(kept, qlen)
+            sds.append(
+                SeqDetail(
+                    rc=rc,
+                    n_seeds=metas[path_idx][5],
+                    similarity_score=max_sim,
+                    chains=kept,
+                    aligned_bases=r2.aligned_bases,
+                    seq_id=trec.seq_ids[i_seq] if trec.seq_ids else b"",
+                    seq_idx=i_seq,
+                    n_seqs=trec.num_seqs,
+                    seq_len=trec.seq_sizes[i_seq],
+                    n_chunks=n_chunks,
+                    chunk_idx=chunk_idx,
+                )
+            )
+
+        if not sds:
+            return None
+        if not self.genome_chunk_idx:
+            regions = [(c.qbegin, c.qend) for sd in sds for c in sd.chains]
+            af = min(coverage_len(regions) / qlen * 100, 100.0)
+            hit.aligned_fraction = af
+            if af < opt.min_qcov_genome:
+                return None
+        sds.sort(key=lambda sd: -sd.similarity_score)
+        hit.details = sds
+        return hit
+
     def _align_genome(self, qcodes, hit: GenomeHit, anchors: Anchors, paths, cpr: SeqComparator):
         """(ref: falin, lib-index-search.go:1845-2720)"""
         opt = self.opt
@@ -584,6 +729,11 @@ class IndexSearcher:
 
         # sort chains by the TBegin of their first anchor
         paths = sorted(paths, key=lambda p: int(anchors.tbegin[p[0]]))
+
+        if not opt.output_seq:
+            r = self._align_genome_native(qcodes, hit, anchors, paths, cpr)
+            if r is not NotImplemented:
+                return r
 
         for path in paths:
             n_seeds = len(path)
@@ -709,6 +859,9 @@ class IndexSearcher:
         has_result = False
         max_sim = 0.0
         kept: list[Chain2Result] = []
+
+        # per-chain window/extension params (shared by both paths)
+        prepped: list[tuple] = []
         for c in group:
             if c.qbegin >= c.qend + 1:
                 continue
@@ -729,6 +882,75 @@ class IndexSearcher:
                 ext2 += 20
             elif c.aligned_bases_q > 10_000:
                 ext2 += 10
+            prepped.append((c, start, end, ext2))
+
+        # fused fast path (no -a output): extend + WFA + trimmed stats for
+        # the WHOLE group in one native call (mirrors the per-chain loop
+        # below; ref: lib-index-search.go:2164-2348)
+        batch = None
+        if prepped and not opt.output_seq:
+            from ..native import hsp_extend_wfa_batch_native
+
+            res = hsp_extend_wfa_batch_native(
+                qcodes, tcodes, rc,
+                np.array([c.qbegin for c, *_ in prepped], dtype=np.int64),
+                np.array([c.qend + 1 for c, *_ in prepped], dtype=np.int64),
+                np.array([p[1] for p in prepped], dtype=np.int64),
+                np.array([p[2] for p in prepped], dtype=np.int64),
+                np.array([p[3] for p in prepped], dtype=np.int64),
+                np.array([c.tbegin for c, *_ in prepped], dtype=np.int64),
+                np.array([c.max_ext_len for c, *_ in prepped], dtype=np.int64),
+            )
+            if res is not None and res[1] < 0:
+                batch = res[0]
+
+        if batch is not None:
+            for bi, (c, start, end, ext2) in enumerate(prepped):
+                row = batch[bi]
+                if row[1] == 0:  # empty trimmed region -> e-value inf
+                    continue
+                a_len, a_matches, a_gaps = int(row[1]), int(row[2]), int(row[4])
+                cg_qb, cg_qe = int(row[5]), int(row[6])
+                cg_tb, cg_te = int(row[7]), int(row[8])
+                score = int(row[9])
+                s1, e1, s2, e2 = int(row[10]), int(row[11]), int(row[12]), int(row[13])
+                len_qseq, len_tseq = int(row[14]), int(row[15])
+                bits, evalue = score_to_bit_evalue(score, len_qseq, self.total_bases)
+                c.score, c.bit_score, c.evalue = score, bits, evalue
+                if evalue > opt.max_evalue:
+                    continue
+
+                c.qbegin -= s1
+                c.qend += e1
+                c.qbegin = c.qbegin + cg_qb - 1
+                c.qend = c.qend - (len_qseq - cg_qe)
+                if rc:
+                    c.tbegin -= e2
+                    c.tend += s2
+                    c.tbegin = c.tbegin + (len_tseq - cg_te)
+                    c.tend = c.tend - (cg_tb - 1)
+                else:
+                    c.tbegin -= s2
+                    c.tend += e2
+                    c.tbegin = c.tbegin + (cg_tb - 1)
+                    c.tend = c.tend - (len_tseq - cg_te)
+
+                c.aligned_bases_q = c.qend - c.qbegin + 1
+                c.aligned_length = a_len
+                c.matched_bases = a_matches
+                c.gaps = a_gaps
+                c.aligned_fraction = min(c.aligned_bases_q / qlen * 100, 100.0)
+                c.pident = c.matched_bases / a_len * 100 if a_len else 0.0
+                if c.aligned_fraction < opt.min_qcov_hsp or c.pident < opt.min_identity:
+                    continue
+                sim = float(c.bit_score) * c.pident
+                if sim > max_sim:
+                    max_sim = sim
+                has_result = True
+                kept.append(c)
+            prepped = []  # handled
+
+        for c, start, end, ext2 in prepped:
             qseq, tseq, s1, e1, s2, e2 = extend_match(
                 qcodes, tcodes, c.qbegin, c.qend + 1, start, end,
                 ext2, c.tbegin, c.max_ext_len, rc,

@@ -149,6 +149,34 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
     ]
+    lib.hsp_extend_wfa_batch.restype = ctypes.c_int64
+    lib.hsp_extend_wfa_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_void_p,
+    ]
+    lib.align_paths.restype = ctypes.c_int64
+    lib.align_paths.argtypes = (
+        [ctypes.c_void_p, ctypes.c_int64]            # qcodes
+        + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]  # qk, qv, nq
+        + [ctypes.c_void_p, ctypes.c_int32]          # qtab, bbits
+        + [ctypes.c_int32] * 2                       # cmp_k, cmp_min_prefix
+        + [ctypes.c_int32, ctypes.c_int32, ctypes.c_double,
+           ctypes.c_double, ctypes.c_int32, ctypes.c_double]  # chain2 opts
+        + [ctypes.c_void_p] * 3                      # tbuf, t_off, t_len
+        + [ctypes.c_void_p] * 5                      # p_qbegin..p_rc
+        + [ctypes.c_int64]                           # n_paths
+        + [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32]  # seq_sizes...
+        + [ctypes.c_int64, ctypes.c_double, ctypes.c_double,
+           ctypes.c_double, ctypes.c_double]         # ext2, totals, filters
+        + [ctypes.c_int32] * 6                       # wfa params
+        + [ctypes.c_void_p, ctypes.c_int64]          # out rows
+    )
     lib.capture_native.restype = ctypes.c_int64
     lib.capture_native.argtypes = [
         u64p, u64p, ctypes.c_int64, ctypes.c_void_p, u64p, ctypes.c_int64,
@@ -561,3 +589,95 @@ def chain3_native(qb, tb, ln, max_gap=5, min_score=1, min_align_len=2,
     if not ok:
         return (False, None)
     return (True, (int(qe.value), int(te.value)))
+
+
+def hsp_extend_wfa_batch_native(
+    qcodes, tcodes, rc,
+    c_qb, c_qe1, c_start, c_end, c_ext2, c_tb, c_maxext,
+    x=4, o=6, e=2, adaptive=True, min_wf_len=10, max_dist_diff=50,
+):
+    """Fused per-group HSP extension + WFA + trimmed stats (one C call for
+    all chains of a flush group).  Returns (out [n,16] int64, fail_idx) or
+    None; fail_idx >= 0 marks the first chain whose WFA needs the fallback
+    path.  Row layout: stats[0..9] (wfa_align_stats), [10..13] s1,e1,s2,e2,
+    [14..15] extended qseq/tseq lengths."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = int(c_qb.shape[0])
+    if n == 0:
+        return np.zeros((0, 16), dtype=np.int64), -1
+    qcodes = np.ascontiguousarray(qcodes, dtype=np.uint8)
+    tcodes = np.ascontiguousarray(tcodes, dtype=np.uint8)
+    out = np.zeros((n, 16), dtype=np.int64)
+    args = [np.ascontiguousarray(a, dtype=np.int64)
+            for a in (c_qb, c_qe1, c_start, c_end, c_ext2, c_tb, c_maxext)]
+    rcode = lib.hsp_extend_wfa_batch(
+        qcodes.ctypes.data, int(qcodes.shape[0]),
+        tcodes.ctypes.data, int(tcodes.shape[0]),
+        1 if rc else 0,
+        *(a.ctypes.data for a in args),
+        n, x, o, e, 1 if adaptive else 0, min_wf_len, max_dist_diff,
+        out.ctypes.data,
+    )
+    return out, int(rcode) - 1
+
+
+def align_paths_native(
+    qcodes, qk, qv, qtab, bbits,
+    cmp_k, cmp_min_prefix,
+    band_base, band_count, c2_max_gap, c2_min_score, c2_min_align_len, c2_heur,
+    tbuf, t_off, t_len, p_qbegin, p_qend, p_tbegin, p_tend, p_rc,
+    seq_sizes, interval, k,
+    ext2_base, total_bases, max_evalue, min_qcov_hsp, min_identity,
+    x=4, o=6, e=2, adaptive=True, min_wf_len=10, max_dist_diff=50,
+):
+    """Whole-genome phase-4 fusion: pseudo-align + contig assignment + dedup +
+    extend + WFA + scoring for ALL chain windows of one genome in a single C
+    call.  Returns the kept-HSP row matrix [n, 18] float64 (see core.cpp
+    align_paths for the layout), or None when the caller must fall back to
+    the per-chain Python path (no lib, or a WFA failure)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_paths = int(t_off.shape[0])
+    qcodes = np.ascontiguousarray(qcodes, dtype=np.uint8)
+    tbuf = np.ascontiguousarray(tbuf, dtype=np.uint8)
+    qk = np.ascontiguousarray(qk, dtype=np.uint64)
+    qv = np.ascontiguousarray(qv, dtype=np.uint32)
+    tab_ptr = 0
+    if qtab is not None:
+        qtab = np.ascontiguousarray(qtab, dtype=np.uint32)
+        tab_ptr = qtab.ctypes.data
+    i64 = lambda a: np.ascontiguousarray(a, dtype=np.int64)
+    t_off, t_len = i64(t_off), i64(t_len)
+    p_qbegin, p_qend = i64(p_qbegin), i64(p_qend)
+    p_tbegin, p_tend = i64(p_tbegin), i64(p_tend)
+    p_rc = np.ascontiguousarray(p_rc, dtype=np.uint8)
+    seq_sizes = i64(seq_sizes)
+    cap = 256
+    while True:
+        rows = np.empty((cap, 18), dtype=np.float64)
+        n = lib.align_paths(
+            qcodes.ctypes.data, int(qcodes.shape[0]),
+            qk.ctypes.data, qv.ctypes.data, int(qk.shape[0]),
+            tab_ptr, int(bbits),
+            int(cmp_k), int(cmp_min_prefix),
+            int(band_base), int(band_count), float(c2_max_gap),
+            float(c2_min_score), int(c2_min_align_len), float(c2_heur),
+            tbuf.ctypes.data, t_off.ctypes.data, t_len.ctypes.data,
+            p_qbegin.ctypes.data, p_qend.ctypes.data,
+            p_tbegin.ctypes.data, p_tend.ctypes.data, p_rc.ctypes.data,
+            n_paths,
+            seq_sizes.ctypes.data, int(seq_sizes.shape[0]), int(interval), int(k),
+            int(ext2_base), float(total_bases), float(max_evalue),
+            float(min_qcov_hsp), float(min_identity),
+            x, o, e, 1 if adaptive else 0, min_wf_len, max_dist_diff,
+            rows.ctypes.data, cap,
+        )
+        if n == -1:
+            cap *= 4
+            continue
+        if n == -2:
+            return None
+        return rows[:n]

@@ -15,6 +15,8 @@
 #include <cstring>
 #include <cmath>
 #include <vector>
+#include <set>
+#include <ctime>
 #include <algorithm>
 
 extern "C" {
@@ -328,35 +330,53 @@ int64_t wfa_align_stats(const uint8_t* q, int64_t n, const uint8_t* t, int64_t m
 void chain2_forward(const int64_t* qb, const int64_t* tb, const int64_t* ln,
                     int64_t n, int32_t band_base, int32_t band_count,
                     double max_gap, double* max_scores, int64_t* prev_idx) {
+    // all quantities are integers (score = sum of lengths minus gaps), so the
+    // DP runs in int64 — values and comparisons are identical to the double
+    // formulation for any realistic magnitudes
+    static thread_local std::vector<int32_t> cq, ct, cl;
+    static thread_local std::vector<int64_t> msi, msl;
+    cq.resize((size_t)n); ct.resize((size_t)n); cl.resize((size_t)n);
+    msi.resize((size_t)n); msl.resize((size_t)n);
+    for (int64_t j = 0; j < n; ++j) {
+        cq[(size_t)j] = (int32_t)qb[j];
+        ct[(size_t)j] = (int32_t)tb[j];
+        cl[(size_t)j] = (int32_t)ln[j];
+    }
+    // CLI max_gap is integral; the int compare g > mg matches (double)g > max_gap
+    const int64_t mg = (int64_t)max_gap;
+    msi[0] = ln[0];
+    msl[0] = 2 * ln[0];
     max_scores[0] = (double)ln[0];
     prev_idx[0] = 0;
-    int64_t max_ln = 0;
-    for (int64_t j = 0; j < n; ++j) max_ln = std::max(max_ln, ln[j]);
+    int32_t max_ln = 0;
+    for (int64_t j = 0; j < n; ++j) max_ln = std::max(max_ln, cl[(size_t)j]);
     for (int64_t i = 1; i < n; ++i) {
-        int64_t aq = qb[i], at = tb[i];
-        double m = (double)ln[i];
+        const int32_t aq = cq[(size_t)i], at = ct[(size_t)i];
+        // pre-break threshold: aq - qb[j] - max_ln > band_base  <=>  qb[j] < thr
+        const int32_t thr = aq - max_ln - band_base;
+        int64_t m = cl[(size_t)i];
         int64_t mj = i;
         int64_t bcount = 0;
         for (int64_t j = i - 1; j >= 0; --j) {
-            int64_t bq2 = qb[j], bt2 = tb[j];
-            // monotone early exit: qb is ascending so aq - qb[j] only grows as
-            // j decreases; once the band test must fail for EVERY remaining
-            // non-skipped anchor, the scan's outcome is already decided
-            // (skipped anchors between here and the eventual breaking one
-            // contribute nothing)
-            if (bcount >= band_count && aq - bq2 - max_ln > band_base) break;
+            const int32_t bq2 = cq[(size_t)j];
+            // monotone early exit: qb ascending, so once the band test must
+            // fail for every remaining non-skipped anchor the scan is decided
+            if (bcount >= band_count && bq2 < thr) break;
+            const int32_t bt2 = ct[(size_t)j];
             if (bq2 == aq || bt2 > at) continue;
             ++bcount;
-            int64_t bbase = aq - bq2 - ln[j];
-            if (!(bbase <= band_base || bcount <= band_count)) break;
-            int64_t qd = aq > bq2 ? aq - bq2 : bq2 - aq;
-            int64_t td = at > bt2 ? at - bt2 : bt2 - at;
-            int64_t g = qd > td ? qd - td : td - qd;
-            if ((double)g > max_gap) continue;
-            double sc = max_scores[j] + (double)ln[j] - (double)g;
+            const int32_t blj = cl[(size_t)j];
+            if (aq - bq2 - blj > band_base && bcount > band_count) break;
+            const int64_t qd = aq - bq2;  // > 0: sorted, equal skipped
+            const int64_t td = at - bt2;  // >= 0: bt2 <= at
+            const int64_t g = qd > td ? qd - td : td - qd;
+            if (g > mg) continue;
+            const int64_t sc = msl[(size_t)j] - g;
             if (sc >= m) { m = sc; mj = j; }
         }
-        max_scores[i] = m;
+        msi[(size_t)i] = m;
+        msl[(size_t)i] = m + cl[(size_t)i];
+        max_scores[i] = (double)m;
         prev_idx[i] = mj;
     }
 }
@@ -1120,6 +1140,15 @@ int64_t compare_probe_codes(const uint64_t* qk, const uint32_t* qv, int64_t nq,
 // lib-chaining2.go:222-307).  Outputs the cleaned anchors plus the DP
 // tables; backtracking stays on the Python side.  Returns the final anchor
 // count, 0 if nothing survives, -1 on cap overflow.
+static double g_prof2[4] = {0, 0, 0, 0};
+extern "C" void get_prep_prof(double* out);
+void get_prep_prof(double* out) { for (int i = 0; i < 4; ++i) { out[i] = g_prof2[i]; g_prof2[i] = 0; } }
+static inline double now2_s() {
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return (double)ts.tv_sec + 1e-9 * (double)ts.tv_nsec;
+}
+
 int64_t compare_prepare(const uint64_t* qk, const uint32_t* qv, int64_t nq,
                         const uint8_t* tcodes, int64_t L,
                         const uint32_t* qtab, int32_t bbits,
@@ -1128,29 +1157,56 @@ int64_t compare_prepare(const uint64_t* qk, const uint32_t* qv, int64_t nq,
                         int32_t band_base, int32_t band_count, double max_gap,
                         int64_t* aq, int64_t* at, int64_t* al, uint8_t* arc,
                         double* max_scores, int64_t* prev_idx, int64_t cap) {
+    double tp0 = now2_s();
     int64_t w = compare_probe_codes(qk, qv, nq, tcodes, L, qtab, bbits,
                                     mprefix, k, begin, end, aq, at, al, arc, cap);
+    g_prof2[0] += now2_s() - tp0;
     if (w <= 0) return w;
+    tp0 = now2_s();
 
     // sort indices by (QBegin asc, QEnd desc, TBegin asc)
-    std::vector<int64_t> ord((size_t)w);
-    for (int64_t i = 0; i < w; ++i) ord[(size_t)i] = i;
-    std::sort(ord.begin(), ord.end(), [&](int64_t x, int64_t y) {
-        if (aq[x] != aq[y]) return aq[x] < aq[y];
-        int64_t ex = aq[x] + al[x], ey = aq[y] + al[y];
-        if (ex != ey) return ex > ey;
-        return at[x] < at[y];
-    });
-    std::vector<int64_t> sq((size_t)w), st((size_t)w), sl((size_t)w);
-    std::vector<uint8_t> sc((size_t)w);
-    for (int64_t i = 0; i < w; ++i) {
-        int64_t o = ord[(size_t)i];
-        sq[(size_t)i] = aq[o]; st[(size_t)i] = at[o];
-        sl[(size_t)i] = al[o]; sc[(size_t)i] = arc[o];
+    static thread_local std::vector<int64_t> sq, st, sl;
+    static thread_local std::vector<uint8_t> sc;
+    sq.resize((size_t)w); st.resize((size_t)w); sl.resize((size_t)w);
+    sc.resize((size_t)w);
+    if (L + 64 < (1 << 21) && end + 64 < (1 << 21)) {
+        // packed-key sort: one uint64 compare instead of a 3-key lambda
+        // (coordinates fit 21 bits for windows under 2 Mb)
+        static thread_local std::vector<std::pair<uint64_t, uint32_t>> keys;
+        keys.resize((size_t)w);
+        const uint64_t QE_MAX = (1 << 21) - 1;
+        for (int64_t i = 0; i < w; ++i)
+            keys[(size_t)i] = {((uint64_t)aq[i] << 42) |
+                               ((QE_MAX - (uint64_t)(aq[i] + al[i])) << 21) |
+                               (uint64_t)at[i],
+                               (uint32_t)i};
+        std::sort(keys.begin(), keys.end());
+        for (int64_t i = 0; i < w; ++i) {
+            int64_t o = keys[(size_t)i].second;
+            sq[(size_t)i] = aq[o]; st[(size_t)i] = at[o];
+            sl[(size_t)i] = al[o]; sc[(size_t)i] = arc[o];
+        }
+    } else {
+        std::vector<int64_t> ord((size_t)w);
+        for (int64_t i = 0; i < w; ++i) ord[(size_t)i] = i;
+        std::sort(ord.begin(), ord.end(), [&](int64_t x, int64_t y) {
+            if (aq[x] != aq[y]) return aq[x] < aq[y];
+            int64_t ex = aq[x] + al[x], ey = aq[y] + al[y];
+            if (ex != ey) return ex > ey;
+            return at[x] < at[y];
+        });
+        for (int64_t i = 0; i < w; ++i) {
+            int64_t o = ord[(size_t)i];
+            sq[(size_t)i] = aq[o]; st[(size_t)i] = at[o];
+            sl[(size_t)i] = al[o]; sc[(size_t)i] = arc[o];
+        }
     }
 
+    g_prof2[1] += now2_s() - tp0;
+    tp0 = now2_s();
     // drop nested anchors (clear_substr_pairs_mark semantics, int64)
-    std::vector<int64_t> keep;
+    static thread_local std::vector<int64_t> keep;
+    keep.clear();
     keep.reserve((size_t)w);
     keep.push_back(0);
     for (int64_t i = 1; i < w; ++i) {
@@ -1240,9 +1296,12 @@ int64_t compare_prepare(const uint64_t* qk, const uint32_t* qv, int64_t nq,
         aq[i] = sq[(size_t)i]; at[i] = st[(size_t)i];
         al[i] = sl[(size_t)i]; arc[i] = sc[(size_t)i];
     }
+    g_prof2[2] += now2_s() - tp0;
+    tp0 = now2_s();
     if (n >= 2) {
         chain2_forward(aq, at, al, n, band_base, band_count, max_gap,
                        max_scores, prev_idx);
+        g_prof2[3] += now2_s() - tp0;
     } else if (n == 1) {
         max_scores[0] = (double)al[0];
         prev_idx[0] = 0;
@@ -1342,6 +1401,484 @@ int64_t range_match(const uint64_t* ek, const int64_t* eoff, const uint64_t* val
         }
     }
     return w;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fused HSP extension + WFA + trimmed stats, batched over the chains of one
+// flush group (the phase-4 per-HSP hot loop; mirrors ops/extend.py
+// extend_match/_extend_right + wfa_align_stats; ref: extendMatch,
+// lib-index-search-util.go:34-200 and lib-index-search.go:2164-2348).
+
+namespace {
+
+// 2-mer chain extension over two (already materialized) windows.
+// Mirrors ops/extend.py _extend_right: anchors are all (i, j) pairs with
+// s1[i..i+1] == s2[j..j+1], ordered (qb asc, tb asc), chained by Chainer3
+// with the extension defaults (ref: lib-index-search-util.go:98-200).
+static void extend_right2(const uint8_t* s1, int64_t L1,
+                          const uint8_t* s2, int64_t L2,
+                          int64_t* e1_out, int64_t* e2_out,
+                          std::vector<int32_t>& aq, std::vector<int32_t>& at,
+                          std::vector<int32_t>& al,
+                          std::vector<int32_t>& tpos_bucket,
+                          std::vector<int32_t>& tpos_off) {
+    *e1_out = 0; *e2_out = 0;
+    int64_t n1 = L1 - 1, n2 = L2 - 1;
+    if (n1 <= 0 || n2 <= 0) return;
+    // bucket t positions by 2-mer value (16 buckets, ascending j)
+    int32_t cnt[16] = {0};
+    for (int64_t j = 0; j < n2; ++j) ++cnt[(s2[j] << 2) | s2[j + 1]];
+    tpos_off.resize(17);
+    tpos_off[0] = 0;
+    for (int v = 0; v < 16; ++v) tpos_off[v + 1] = tpos_off[v] + cnt[v];
+    tpos_bucket.resize((size_t)n2);
+    int32_t fill[16];
+    for (int v = 0; v < 16; ++v) fill[v] = tpos_off[v];
+    for (int64_t j = 0; j < n2; ++j) {
+        int v = (s2[j] << 2) | s2[j + 1];
+        tpos_bucket[(size_t)fill[v]++] = (int32_t)j;
+    }
+    aq.clear(); at.clear();
+    for (int64_t i = 0; i < n1; ++i) {
+        int v = (s1[i] << 2) | s1[i + 1];
+        for (int32_t p = tpos_off[v]; p < tpos_off[v + 1]; ++p) {
+            aq.push_back((int32_t)i);
+            at.push_back(tpos_bucket[(size_t)p]);
+        }
+    }
+    if (aq.empty()) return;
+    al.assign(aq.size(), 2);
+    int32_t qe = 0, te = 0;
+    int32_t ok = chain3_chain(aq.data(), at.data(), al.data(), (int64_t)aq.size(),
+                              /*max_gap=*/5, /*min_score=*/1, /*min_align_len=*/2,
+                              /*max_distance=*/10, /*band_count=*/20, /*band_base=*/10,
+                              &qe, &te);
+    if (!ok) return;
+    *e1_out = (int64_t)qe + 1;
+    *e2_out = (int64_t)te + 1;
+}
+
+}  // namespace
+
+extern "C" {
+
+// For each chain c of one flush group: extend both flanks via 2-mer chaining,
+// then run WFA + trimmed-alignment stats on the extended windows.  Output row
+// layout (int64[16] per chain):
+//   [0..9]  wfa_align_stats stats
+//   [10..13] s1, e1, s2, e2   (per-side extension lengths)
+//   [14..15] qseq_len, tseq_len (extended window sizes)
+// Returns 0 on success, or (1 + index of the first chain whose WFA failed)
+// so the caller can fall back per chain.
+int64_t hsp_extend_wfa_batch(
+    const uint8_t* qcodes, int64_t qlen,
+    const uint8_t* tcodes, int64_t tlen,
+    int32_t rc,
+    const int64_t* c_qb, const int64_t* c_qe1,
+    const int64_t* c_start, const int64_t* c_end,
+    const int64_t* c_ext2, const int64_t* c_tb, const int64_t* c_maxext,
+    int64_t n,
+    int32_t x, int32_t o, int32_t e,
+    int32_t adaptive, int32_t min_wf_len, int32_t max_dist_diff,
+    int64_t* out) {
+    std::vector<uint8_t> w1, w2, ops;
+    std::vector<int32_t> aq, at, al, tb_bucket, tb_off;
+    int64_t rcode = 0;
+    for (int64_t ci = 0; ci < n; ++ci) {
+        int64_t start1 = c_qb[ci], end1 = c_qe1[ci];
+        int64_t start2 = c_start[ci], end2 = c_end[ci];
+        const int64_t s1_0 = start1, e1_0 = end1, s2_0 = start2, e2_0 = end2;
+        int64_t s1 = 0, e1 = 0, s2 = 0, e2 = 0;
+        const int64_t m = 2;
+        const int64_t ext2 = c_ext2[ci], tbp = c_tb[ci], mx = c_maxext[ci];
+
+        // 3' (right)
+        if (end1 + m < qlen && end2 + m < tlen) {
+            int64_t ext = rc ? std::min(ext2, tbp) : std::min(ext2, mx);
+            if (ext > 2) {
+                int64_t e1b = std::min(end1 + ext, qlen);
+                int64_t e2b = std::min(end2 + ext, tlen);
+                extend_right2(qcodes + end1, e1b - end1, tcodes + end2, e2b - end2,
+                              &e1, &e2, aq, at, al, tb_bucket, tb_off);
+                if (e1 > 0 || e2 > 0) { end1 += e1; end2 += e2; }
+            }
+        }
+        // 5' (left): reversed slices
+        if (start1 > m && start2 > m) {
+            int64_t ext = rc ? std::min(ext2, mx) : std::min(ext2, tbp);
+            if (ext > 2) {
+                int64_t s1b = std::max(start1 - ext, (int64_t)0);
+                int64_t s2b = std::max(start2 - ext, (int64_t)0);
+                w1.resize((size_t)(start1 - s1b));
+                w2.resize((size_t)(start2 - s2b));
+                for (int64_t i2 = 0; i2 < start1 - s1b; ++i2) w1[(size_t)i2] = qcodes[start1 - 1 - i2];
+                for (int64_t i2 = 0; i2 < start2 - s2b; ++i2) w2[(size_t)i2] = tcodes[start2 - 1 - i2];
+                extend_right2(w1.data(), start1 - s1b, w2.data(), start2 - s2b,
+                              &s1, &s2, aq, at, al, tb_bucket, tb_off);
+                if (s1 > 0 || s2 > 0) { start1 -= s1; start2 -= s2; }
+            }
+        }
+        if (start1 < 0 || start2 < 0) { start1 = s1_0; start2 = s2_0; }
+        if (end1 > qlen || end2 > tlen) { end1 = e1_0; end2 = e2_0; }
+
+        int64_t qn = end1 - start1, tn = end2 - start2;
+        int64_t cap = 2 * (qn + tn) + 16;
+        ops.resize((size_t)cap);
+        int64_t* stats = out + ci * 16;
+        int64_t w = wfa_align_stats(qcodes + start1, qn, tcodes + start2, tn,
+                                    x, o, e, adaptive, min_wf_len, max_dist_diff,
+                                    ops.data(), cap, stats);
+        stats[10] = s1; stats[11] = e1; stats[12] = s2; stats[13] = e2;
+        stats[14] = qn; stats[15] = tn;
+        if (w < 0 && rcode == 0) rcode = 1 + ci;
+    }
+    return rcode;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Whole-genome phase-4 fusion: for every chain window (path) of one genome,
+// run pseudo-alignment (compare_prepare + Chainer2 backtrack), contig
+// assignment, HSP-group flushing with dedup, 2-mer extension, WFA and
+// BLAST-style scoring — one C call per genome instead of ~10 Python/ctypes
+// round-trips per HSP.  Mirrors index/search.py _align_genome/_flush_hsp_group
+// (ref: falin, lib-index-search.go:1845-2720).
+
+namespace {
+
+struct C2R {
+    int64_t n_anchors, matched, abq, abt, qb, qe, tb, te;
+    int64_t max_ext, t_off_begin;
+    double pident;
+};
+
+// _find_contig (index/search.py; ref: lib-index-search.go:2049-2100)
+static void find_contig(const int64_t* seq_sizes, int64_t num_seqs,
+                        int64_t interval, int32_t k, bool rc,
+                        int64_t t_begin, int64_t t_end, int64_t tb2, int64_t te2,
+                        int64_t* i_seq_out, int64_t* off_out) {
+    int64_t b, e;
+    if (rc) { b = t_end - te2 + k; e = t_end - tb2 - k; }
+    else    { b = t_begin + tb2 + k; e = t_begin + te2 - k; }
+    if (b >= e) {
+        if (rc) { b = t_end - te2; e = t_end - tb2; }
+        else    { b = t_begin + tb2; e = t_begin + te2; }
+    }
+    int64_t off_begin = 0, off_end = 0;
+    for (int64_t j = 0; j < num_seqs; ++j) {
+        off_end += seq_sizes[j] - 1;
+        if (b + k >= off_begin && e - k <= off_end) { *i_seq_out = j; *off_out = off_begin; return; }
+        if (e < off_begin) { *i_seq_out = -1; *off_out = 0; return; }
+        off_end += interval + 1;
+        off_begin = off_end;
+    }
+    *i_seq_out = -1; *off_out = 0;
+}
+
+// _convert_chain (index/search.py; ref: lib-index-search.go:2380-2411)
+static void convert_chain(C2R& c, bool rc, int64_t t_begin, int64_t t_end,
+                          int64_t t_off_begin, int64_t seq_size, int64_t tlen) {
+    int64_t tb = c.tb, te = c.te;
+    c.t_off_begin = t_off_begin;
+    if (rc) {
+        c.tb = t_begin - t_off_begin + (tlen - te - 1);
+        if (c.tb < 0) { c.qe += c.tb; c.abq += c.tb; c.tb = 0; }
+        c.te = t_begin - t_off_begin + (tlen - tb - 1);
+        if (c.te > seq_size - 1) { c.qb += c.te - (seq_size - 1); c.te = seq_size - 1; }
+    } else {
+        c.tb = t_begin - t_off_begin + tb;
+        if (c.tb < 0) { c.qb -= c.tb; c.abq += c.tb; c.tb = 0; }
+        c.te = t_begin - t_off_begin + te;
+        if (c.te > seq_size - 1) { c.qe -= c.te - (seq_size - 1); c.te = seq_size - 1; }
+    }
+    c.max_ext = seq_size - 1 - c.te;
+}
+
+struct DedupKey {
+    int64_t qb, qe, tb, te, iseq;
+    bool rc;
+    bool operator<(const DedupKey& o) const {
+        if (qb != o.qb) return qb < o.qb;
+        if (qe != o.qe) return qe < o.qe;
+        if (tb != o.tb) return tb < o.tb;
+        if (te != o.te) return te < o.te;
+        if (iseq != o.iseq) return iseq < o.iseq;
+        return rc < o.rc;
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+// profiling accumulators for align_paths (fetched by get_align_prof)
+static double g_prof[4] = {0, 0, 0, 0};  // compare, backtrack, extend, wfa
+static inline double now_s() {
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return (double)ts.tv_sec + 1e-9 * (double)ts.tv_nsec;
+}
+void get_align_prof(double* out) { for (int i = 0; i < 4; ++i) { out[i] = g_prof[i]; g_prof[i] = 0; } }
+
+// Output row layout (double[18] per kept HSP):
+//  0 path_idx  1 group_id  2 i_seq  3 qbegin  4 qend  5 tbegin  6 tend
+//  7 aligned_length  8 matched_bases  9 gaps  10 pident  11 aligned_fraction
+// 12 aligned_bases_q 13 score 14 bit_score 15 evalue 16 n_anchors 17 rc
+// Returns the number of rows, or -1 if row_cap was exceeded (caller retries),
+// or -2 if a WFA alignment failed (caller falls back to the Python path).
+int64_t align_paths(
+    const uint8_t* qcodes, int64_t qlen,
+    const uint64_t* qk, const uint32_t* qv, int64_t nq,
+    const uint32_t* qtab, int32_t bbits,
+    int32_t cmp_k, int32_t cmp_min_prefix,
+    int32_t band_base, int32_t band_count, double c2_max_gap,
+    double c2_min_score, int32_t c2_min_align_len, double c2_heur_pident,
+    const uint8_t* tbuf, const int64_t* t_off, const int64_t* t_len,
+    const int64_t* p_qbegin, const int64_t* p_qend,
+    const int64_t* p_tbegin, const int64_t* p_tend,
+    const uint8_t* p_rc,
+    int64_t n_paths,
+    const int64_t* seq_sizes, int64_t num_seqs, int64_t interval, int32_t k,
+    int64_t ext2_base, double total_bases, double max_evalue,
+    double min_qcov_hsp, double min_identity,
+    int32_t x, int32_t o, int32_t e,
+    int32_t adaptive, int32_t min_wf_len, int32_t max_dist_diff,
+    double* out_rows, int64_t row_cap) {
+
+    int64_t n_rows = 0;
+    int64_t group_id = 0;
+    bool overflow = false, wfa_fail = false;
+    std::set<DedupKey> dedup;
+    // scratch
+    std::vector<int64_t> aq, at, al, sc_pv;
+    std::vector<uint8_t> arc;
+    std::vector<double> sc_ms;
+    std::vector<int64_t> bt_rows;
+    std::vector<double> bt_pident;
+    std::vector<uint8_t> w1, w2, ops;
+    std::vector<int32_t> xq, xt, xl, xb, xo;
+
+    // flush one group of converted chains into out_rows
+    auto flush = [&](std::vector<C2R>& group, int64_t i_seq, int64_t path_idx,
+                     bool rc, const uint8_t* tcodes, int64_t tlen,
+                     int64_t t_begin, int64_t t_end) {
+        bool has_result = false;
+        int64_t first_row = n_rows;
+        for (C2R& c : group) {
+            if (c.qb >= c.qe + 1) continue;
+            int64_t start, end;
+            if (rc) { start = t_end - c.te - c.t_off_begin;
+                      end = t_end - c.tb - c.t_off_begin + 1; }
+            else    { start = c.t_off_begin + c.tb - t_begin;
+                      end = c.t_off_begin + c.te - t_begin + 1; }
+            if (start >= end) continue;
+            int64_t ext2 = ext2_base;
+            if (c.abq > 1000000) ext2 += 80;
+            else if (c.abq > 250000) ext2 += 40;
+            else if (c.abq > 50000) ext2 += 20;
+            else if (c.abq > 10000) ext2 += 10;
+
+            // extend_match (mirrors ops/extend.py)
+            double te0 = now_s();
+            int64_t start1 = c.qb, end1 = c.qe + 1, start2 = start, end2 = end;
+            const int64_t s1_0 = start1, e1_0 = end1, s2_0 = start2, e2_0 = end2;
+            int64_t s1 = 0, e1 = 0, s2 = 0, e2 = 0;
+            if (end1 + 2 < qlen && end2 + 2 < tlen) {
+                int64_t ext = rc ? std::min(ext2, c.tb) : std::min(ext2, c.max_ext);
+                if (ext > 2) {
+                    int64_t e1b = std::min(end1 + ext, qlen);
+                    int64_t e2b = std::min(end2 + ext, tlen);
+                    extend_right2(qcodes + end1, e1b - end1, tcodes + end2, e2b - end2,
+                                  &e1, &e2, xq, xt, xl, xb, xo);
+                    if (e1 > 0 || e2 > 0) { end1 += e1; end2 += e2; }
+                }
+            }
+            if (start1 > 2 && start2 > 2) {
+                int64_t ext = rc ? std::min(ext2, c.max_ext) : std::min(ext2, c.tb);
+                if (ext > 2) {
+                    int64_t s1b = std::max(start1 - ext, (int64_t)0);
+                    int64_t s2b = std::max(start2 - ext, (int64_t)0);
+                    w1.resize((size_t)(start1 - s1b));
+                    w2.resize((size_t)(start2 - s2b));
+                    for (int64_t i2 = 0; i2 < start1 - s1b; ++i2) w1[(size_t)i2] = qcodes[start1 - 1 - i2];
+                    for (int64_t i2 = 0; i2 < start2 - s2b; ++i2) w2[(size_t)i2] = tcodes[start2 - 1 - i2];
+                    extend_right2(w1.data(), start1 - s1b, w2.data(), start2 - s2b,
+                                  &s1, &s2, xq, xt, xl, xb, xo);
+                    if (s1 > 0 || s2 > 0) { start1 -= s1; start2 -= s2; }
+                }
+            }
+            if (start1 < 0 || start2 < 0) { start1 = s1_0; start2 = s2_0; }
+            if (end1 > qlen || end2 > tlen) { end1 = e1_0; end2 = e2_0; }
+
+            g_prof[2] += now_s() - te0;
+            int64_t qn = end1 - start1, tn = end2 - start2;
+            int64_t cap = 2 * (qn + tn) + 16;
+            ops.resize((size_t)cap);
+            int64_t stats[10];
+            double tw0 = now_s();
+            int64_t w = wfa_align_stats(qcodes + start1, qn, tcodes + start2, tn,
+                                        x, o, e, adaptive, min_wf_len, max_dist_diff,
+                                        ops.data(), cap, stats);
+            g_prof[3] += now_s() - tw0;
+            if (w < 0) { wfa_fail = true; return; }
+            if (stats[1] == 0) continue;  // empty trimmed region
+            int64_t a_len = stats[1], a_matches = stats[2], a_gaps = stats[4];
+            int64_t cg_qb = stats[5], cg_qe = stats[6];
+            int64_t cg_tb = stats[7], cg_te = stats[8];
+            int64_t score = stats[9];
+            // score_to_bit_evalue (ops/align.py; ref: lib-index-search-util.go:259)
+            int64_t s_r = score;
+            if (s_r & 1) s_r -= 1;
+            double bitf = (0.625 * (double)s_r - std::log(0.41)) / std::log(2.0);
+            double evalue = total_bases * std::pow(2.0, -bitf) * (double)qn;
+            int64_t bits = (int64_t)bitf;
+            if (evalue > max_evalue) continue;
+
+            // coordinate updates use the RAW extension lengths (the Python
+            // extend_match returns them even if the safety reset fired)
+            c.qb = (c.qb - s1) + cg_qb - 1;
+            c.qe = (c.qe + e1) - (qn - cg_qe);
+            if (rc) {
+                c.tb -= e2;
+                c.te += s2;
+                c.tb = c.tb + (tn - cg_te);
+                c.te = c.te - (cg_tb - 1);
+            } else {
+                c.tb -= s2;
+                c.te += e2;
+                c.tb = c.tb + (cg_tb - 1);
+                c.te = c.te - (tn - cg_te);
+            }
+            c.abq = c.qe - c.qb + 1;
+            double afrac = std::min((double)c.abq / (double)qlen * 100.0, 100.0);
+            double pident = a_len ? (double)a_matches / (double)a_len * 100.0 : 0.0;
+            if (afrac < min_qcov_hsp || pident < min_identity) continue;
+
+            if (n_rows >= row_cap) { overflow = true; return; }
+            double* row = out_rows + n_rows * 18;
+            row[0] = (double)path_idx; row[1] = (double)group_id; row[2] = (double)i_seq;
+            row[3] = (double)c.qb; row[4] = (double)c.qe;
+            row[5] = (double)c.tb; row[6] = (double)c.te;
+            row[7] = (double)a_len; row[8] = (double)a_matches; row[9] = (double)a_gaps;
+            row[10] = pident; row[11] = afrac; row[12] = (double)c.abq;
+            row[13] = (double)score; row[14] = (double)bits; row[15] = evalue;
+            row[16] = (double)c.n_anchors; row[17] = rc ? 1.0 : 0.0;
+            ++n_rows;
+            has_result = true;
+        }
+        if (has_result) ++group_id;
+        else n_rows = first_row;
+    };
+
+    for (int64_t pi = 0; pi < n_paths && !overflow && !wfa_fail; ++pi) {
+        const uint8_t* tcodes = tbuf + t_off[pi];
+        int64_t L = t_len[pi];
+        bool rc = p_rc[pi] != 0;
+        int64_t t_begin = p_tbegin[pi], t_end = p_tend[pi];
+
+        // ---- compare (ops/seqcompare.py compare; ref: lib-seq_compare.go:335) ----
+        int32_t m = cmp_min_prefix;
+        if (L >= 1000000) m += 8;
+        else if (L >= 250000) m += 6;
+        else if (L >= 50000) m += 4;
+        else if (L >= 10000) m += 2;
+        if (L < cmp_k || nq == 0) continue;
+
+        int64_t cap = std::max((int64_t)8 * std::max(L - cmp_k + 1, (int64_t)1), (int64_t)4096);
+        int64_t n;
+        double tt0 = now_s();
+        while (true) {
+            aq.resize((size_t)cap); at.resize((size_t)cap); al.resize((size_t)cap);
+            arc.resize((size_t)cap); sc_ms.resize((size_t)cap); sc_pv.resize((size_t)cap);
+            n = compare_prepare(qk, qv, nq, tcodes, L, qtab, bbits, m, cmp_k,
+                                p_qbegin[pi], p_qend[pi],
+                                band_base, band_count, c2_max_gap,
+                                aq.data(), at.data(), al.data(), arc.data(),
+                                sc_ms.data(), sc_pv.data(), cap);
+            if (n == -1) { cap *= 4; continue; }
+            break;
+        }
+        g_prof[0] += now_s() - tt0;
+        if (n == 0) continue;
+
+        std::vector<C2R> chains;
+        if (n == 1) {
+            int64_t slen = al[0];
+            if ((double)slen >= c2_min_score && slen >= c2_min_align_len) {
+                C2R c{};
+                c.n_anchors = 1; c.matched = slen; c.abq = slen; c.abt = slen;
+                c.qb = aq[0]; c.qe = aq[0] + slen - 1;
+                c.tb = at[0]; c.te = at[0] + slen - 1;
+                c.pident = 100.0;
+                chains.push_back(c);
+            }
+        } else {
+            bt_rows.resize((size_t)n * 8);
+            bt_pident.resize((size_t)n);
+            int64_t totals[3];
+            double tb0 = now_s();
+            int64_t nc = chain2_backtrack(aq.data(), at.data(), al.data(),
+                                          sc_ms.data(), sc_pv.data(), n,
+                                          c2_min_score, c2_min_align_len,
+                                          c2_heur_pident,
+                                          bt_rows.data(), bt_pident.data(), n, totals);
+            g_prof[1] += now_s() - tb0;
+            for (int64_t i = 0; i < nc; ++i) {
+                const int64_t* r = bt_rows.data() + i * 8;
+                C2R c{};
+                c.n_anchors = r[0]; c.abq = r[1]; c.abt = r[2]; c.matched = r[3];
+                c.qb = r[4]; c.qe = r[5]; c.tb = r[6]; c.te = r[7];
+                c.pident = bt_pident[(size_t)i];
+                chains.push_back(c);
+            }
+        }
+        if (chains.empty()) continue;
+        std::stable_sort(chains.begin(), chains.end(),
+                         [](const C2R& a, const C2R& b) { return a.qb < b.qb; });
+
+        // ---- group loop (index/search.py _align_genome chain loop) ----
+        int64_t i_seq_pre = -1, last_i_seq = -1;
+        std::vector<C2R> group;
+        for (C2R& c : chains) {
+            int64_t tb2 = c.tb, te2 = c.te;
+            int64_t i_seq = 0, t_off_begin = 0;
+            if (num_seqs > 1) {
+                find_contig(seq_sizes, num_seqs, interval, k, rc, t_begin, t_end,
+                            tb2, te2, &i_seq, &t_off_begin);
+                if (i_seq < 0) continue;
+                if (i_seq_pre >= 0 && i_seq != i_seq_pre) {
+                    int64_t i_seq0 = i_seq;
+                    convert_chain(c, rc, t_begin, t_end, t_off_begin,
+                                  seq_sizes[i_seq_pre], L);
+                    if (!group.empty()) {
+                        flush(group, i_seq_pre, pi, rc, tcodes, L, t_begin, t_end);
+                        if (overflow || wfa_fail) break;
+                    }
+                    group.clear();
+                    DedupKey h{c.qb, c.qe, c.tb, c.te, i_seq_pre, rc};
+                    if (dedup.insert(h).second) group.push_back(c);
+                    i_seq_pre = -1;
+                    last_i_seq = i_seq0;
+                    continue;
+                }
+            }
+            i_seq_pre = i_seq;
+            last_i_seq = i_seq;
+            convert_chain(c, rc, t_begin, t_end, t_off_begin, seq_sizes[i_seq], L);
+            DedupKey h{c.qb, c.qe, c.tb, c.te, i_seq, rc};
+            if (!dedup.insert(h).second) continue;
+            group.push_back(c);
+        }
+        if (overflow || wfa_fail) break;
+        if (last_i_seq >= 0 && !group.empty())
+            flush(group, last_i_seq, pi, rc, tcodes, L, t_begin, t_end);
+    }
+    if (wfa_fail) return -2;
+    if (overflow) return -1;
+    return n_rows;
 }
 
 }  // extern "C"
