@@ -228,7 +228,7 @@ def seed_genome(
     if regions:
         exclude = skip_mask_from_regions(scodes.shape[0], k, regions)
     native = capture_native_call(
-        fwd, rc, exclude, mask_set.masks, k, mask_set.prefix_len, True
+        fwd, rc, exclude, mask_set.masks, k, mask_set.distinct_prefix_len, False
     )
     if native is not None:
         kmers_out, counts, pos_flat = native
@@ -269,7 +269,7 @@ def seed_genome(
 
         extras = fill_deserts_native_call(
             fwd, rc, locs, interval_excluded, mask_set.masks, k,
-            mask_set.prefix_len, opt.seed_max_desert, opt.seed_in_desert_dist,
+            mask_set.distinct_prefix_len, opt.seed_max_desert, opt.seed_in_desert_dist,
             opt.desert_seed_pos_range,
         )
         if extras is None:
@@ -298,36 +298,38 @@ class _DesertWindow:
     Instead of materializing the full position->mask capture maps for the
     window (the reference's loc2maskidx, ref: lib-index-build.go:1215-1229),
     capturability is decided per scanned position: k-mer x is captured by
-    mask m iff prefix(m) == prefix(x) and x is the argmin of (y XOR m) over
-    the window k-mers y sharing that prefix.  Both the mask candidates and the
-    competitor k-mers are contiguous ranges of sorted arrays, so each check is
-    two tiny binary searches plus an argmin over a handful of values.
-    On capture by several masks, the HIGHEST mask index wins, mirroring the
-    reference's ascending overwrite order.
+    mask m iff they share m's full DISTINCT prefix (distinct_prefix_len
+    bases; the regional capture runs with checkShorterPrefix=false, ref:
+    lib-index-build.go:1196) and x is the argmin of (y XOR m) over the
+    window k-mers y sharing that prefix.  Distinct prefixes are unique per
+    mask, so at most one mask can capture a given k-mer.
     """
 
     def __init__(self, mask_set: MaskSet, wf: np.ndarray, wr: np.ndarray):
+        """wf/wr must already have k-mers at excluded (interval/gap)
+        positions removed: the reference's N-filled junctions yield no valid
+        k-mers, so they never compete in the regional capture, whereas our
+        A-filled junction codes would."""
         self.ms = mask_set
         self.k = mask_set.k
-        self.p = mask_set.prefix_len
+        self.p = mask_set.distinct_prefix_len
         self.shift = np.uint64(2 * (self.k - self.p))
         self.sorted_w = np.sort(np.concatenate([wf, wr]))
-        self.plo, self.phi = mask_set.prefix_ranges()
+        # sorted mask L-prefixes (no 4^L table: L can be large for
+        # text-loaded mask sets)
+        self.mask_prefs = (mask_set.masks >> self.shift).astype(np.uint64)
 
     def capturing_mask(self, x: int) -> int:
-        """Highest mask index capturing k-mer x in this window, or -1."""
-        pref = x >> (2 * (self.k - self.p))
-        mlo, mhi = int(self.plo[pref]), int(self.phi[pref])
+        """Index of the (unique) mask capturing k-mer x here, or -1."""
+        pref = np.uint64(x >> (2 * (self.k - self.p)))
+        mlo = int(np.searchsorted(self.mask_prefs, pref, side="left"))
+        mhi = int(np.searchsorted(self.mask_prefs, pref, side="right"))
         if mhi <= mlo:
             return -1
-        lo_val = np.uint64(pref) << self.shift
-        hi_val = np.uint64(pref + 1) << self.shift if pref + 1 < (1 << (2 * self.p)) else None
+        lo_val = pref << self.shift
+        hi_val = lo_val | ((np.uint64(1) << self.shift) - np.uint64(1))
         lo = int(np.searchsorted(self.sorted_w, lo_val, side="left"))
-        hi = (
-            int(np.searchsorted(self.sorted_w, hi_val, side="left"))
-            if hi_val is not None
-            else self.sorted_w.shape[0]
-        )
+        hi = int(np.searchsorted(self.sorted_w, hi_val, side="right"))
         bucket = self.sorted_w[lo:hi]
         cands = self.ms.masks[mlo:mhi]
         xors = bucket[None, :] ^ cands[:, None]
@@ -407,7 +409,17 @@ def fill_deserts(
             continue
         pos_of_cur = pos_of_pre + d
 
-        win = _DesertWindow(mask_set, fwd[start : start + nw], rc[start : start + nw])
+        wf = fwd[start : start + nw]
+        wr = rc[start : start + nw]
+        if interval_excluded is not None:
+            ex = interval_excluded[start : start + nw]
+            if ex.shape[0] < wf.shape[0]:
+                ex = np.concatenate(
+                    [ex, np.zeros(wf.shape[0] - ex.shape[0], dtype=bool)]
+                )
+            wf = wf[~ex]
+            wr = wr[~ex]
+        win = _DesertWindow(mask_set, wf, wr)
 
         def try_pos(_j: int):
             """Returns (mask_idx, kmer, loc) or None."""

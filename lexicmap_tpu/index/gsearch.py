@@ -13,9 +13,9 @@ Re-derivation of the reference's genome-vs-index pipeline:
   `genome compare`;
 - similar-pair discovery (ref: pair.go) for `genome pair`.
 
-NOTE: FracMinHash sampling uses a splitmix64-style hash, not the reference's
-wyhash — the sampled sets differ, so ANI/AF values agree statistically rather
-than bit-exactly.
+FracMinHash sampling uses the reference's exact hash (util.Hash64 = Thomas
+Wang's 64-bit integer hash, ref: util/util.go:27-37), so the sampled k-mer
+sets match the reference's bit-for-bit.
 """
 
 from __future__ import annotations
@@ -31,6 +31,7 @@ from ..ops.extend import extend_match
 from ..ops.masking import capture, find_gap_regions, skip_mask_from_regions
 from ..ops.seqcompare import SeqComparator, SeqComparatorOptions
 from ..ops.align import score_and_evalue
+from ..utils.hashes import wang_hash64
 from ..ops.wfa import wfa_align
 from ..utils.kmers import (
     homopolymer_codes,
@@ -152,13 +153,10 @@ class GSearchResult:
 
 
 def hash64(x: np.ndarray) -> np.ndarray:
-    """splitmix64 finalizer (stand-in for the reference's wyhash;
-    sampling is statistical so the exact hash only shifts which k-mers
-    are kept)."""
-    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
-    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return z ^ (z >> np.uint64(31))
+    """The reference's util.Hash64 — Thomas Wang's 64-bit integer hash
+    (ref: util/util.go:27-37) — so FracMinHash sampling keeps exactly the
+    same k-mers as the reference (ref: lib-index-search-genome3.go:154)."""
+    return wang_hash64(x)
 
 
 # --------------------------------------------------------------------------

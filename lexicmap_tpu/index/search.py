@@ -274,6 +274,9 @@ class IndexSearcher:
         from ..utils.kmers import kmers_fwd_rc as _kfr
 
         fwd, rc = _kfr(qcodes, self.k)
+        # checkShorterPrefix=true (ref: lib-index-search.go:1175): the query
+        # capture keeps sub-distinct-prefix winners — suffix matching can pair
+        # a low-LCP query k-mer with a stored reversed seed.
         native = capture_native_call(
             fwd, rc, None, self.mask_set.masks, self.k,
             self.mask_set.prefix_len, True,

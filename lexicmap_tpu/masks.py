@@ -9,12 +9,13 @@ not vendored in the reference tree). Behavior is reconstructed from:
   NewFromTextFile / WriteToFile / NewFromFile (ref: lib-index-build.go:228,526;
   lib-index-search.go:424), lh.Masks []uint64, lh.K, lh.Seed.
 
-NOTE on parity: the reference's random suffixes come from Go's math/rand with
-its own generation order inside the lexichash module; that exact bit stream is
-not reproducible from the information available here, so masks generated by
-this module differ from a reference index's masks for the same seed.  Mask
-TEXT files exported by either implementation are interchangeable (same format:
-"<1-based index>\\t<k bases>") — use them for cross-tool parity runs.
+PARITY: mask generation is BIT-IDENTICAL to the reference's for any
+(k, m, seed) with lcPrefix=0 (the index-build path): the Go math/rand
+stream is reproduced exactly (utils/gorand.py) and the generation
+procedure was reconstructed against the 21 default-seed oracle masks in
+the reference docs (scripts/lexichash_mask_variants.py; MaskSet.generate
+docstring).  Mask TEXT files are also interchangeable (same format:
+"<1-based index>\\t<k bases>").
 
 Masks here are stored SORTED ascending; the mask index is its rank.  Sorting
 groups shared prefixes contiguously, which turns every per-prefix operation
@@ -48,16 +49,56 @@ class MaskSet:
             p += 1
         self.prefix_len = max(p, 1)
 
+    @property
+    def distinct_prefix_len(self) -> int:
+        """Minimal L such that every mask's L-base prefix is unique.
+
+        This is lexichash's "known distinct prefixes" length: generated mask
+        sets guarantee it is prefix_len (m == 4^p) or prefix_len+1 (m > 4^p;
+        the dup-pass re-roll forces the two masks of a duplicated prefix to
+        differ right after it).  MaskKnownDistinctPrefixes(seq, _, false)
+        (the desert-filling capture, ref: lib-index-build.go:1196) only lets
+        a mask capture k-mers sharing this full distinct prefix — verified
+        against the reference docs' `utils kmers` demo dumps, where mask 1's
+        forward seeds all share >= 8 bases with the mask.
+        """
+        if not hasattr(self, "_distinct_prefix_len"):
+            if self.m > 1:
+                max_lcp = int(np.max(kmer_lcp(self.masks[1:], self.masks[:-1], self.k)))
+            else:
+                max_lcp = 0
+            self._distinct_prefix_len = min(max(max_lcp + 1, self.prefix_len), self.k)
+        return self._distinct_prefix_len
+
     # -- generation -------------------------------------------------------
 
     @classmethod
     def generate(cls, k: int, m: int, seed: int = 1, lc_prefix: int = 0) -> "MaskSet":
-        """Generate m masks of size k with all p-prefixes represented.
+        """Generate m masks of size k — BIT-IDENTICAL to lexichash.NewWithSeed.
 
-        Scheme per docs/content/tutorials/index/_index.md:133-141. With
-        lc_prefix > 0, masks whose first lc_prefix bases are low-complexity
-        (DUST) are re-rolled (approximation of lexichash's lcPrefix check).
+        Reconstructed procedure (verified 21/21 against the default-seed
+        oracle masks printed in the reference's docs/content/usage/utils/
+        masks.md; see scripts/lexichash_mask_variants.py):
+
+        1. p = max p with 4^p <= m.  r = Go math/rand source seeded with
+           ``seed`` (bit-exact stream: utils/gorand.py).
+        2. If m > 4^p: rand.Shuffle the 4^p prefixes; the first m-4^p
+           shuffled prefixes will be duplicated.
+        3. Base pass: for prefix 0..4^p-1 in ascending order, suffix =
+           wang_hash64(r.Uint64()) masked to the low 2(k-p) bits.
+        4. Dup pass: for the duplicated prefixes in shuffled order, draw
+           suffixes the same way, re-rolling while the new suffix's FIRST
+           BASE equals an existing same-prefix mask's (guarantees the two
+           masks of a duplicated prefix diverge right after the prefix).
+
+        With lc_prefix > 0 (only the `utils masks --prefix` path; the index
+        build always passes 0, ref: lib-index-build.go:235), masks whose
+        first lc_prefix bases are low-complexity (DUST) are additionally
+        re-rolled — an approximation of lexichash's lcPrefix check.
         """
+        from .utils.gorand import GoRand
+        from .utils.hashes import wang_hash64_int
+
         if k < 5 or k > 32:
             raise ValueError(f"invalid k: {k}")
         if m < 64:
@@ -66,28 +107,52 @@ class MaskSet:
         while 1 << ((p + 1) * 2) <= m:
             p += 1
         npref = 1 << (2 * p)
-        rng = np.random.Generator(np.random.PCG64(seed))
-        prefixes = np.arange(m, dtype=np.uint64) % np.uint64(npref)
-        shift = np.uint64(2 * (k - p))
-        masks = np.zeros(0, dtype=np.uint64)
-        need = prefixes
-        out = []
-        # rejection loop: re-roll duplicates
-        while need.shape[0] > 0:
-            sufs = rng.integers(0, 1 << (2 * (k - p)), size=need.shape[0], dtype=np.uint64)
-            cand = (need << shift) | sufs
-            pool = np.concatenate(out + [cand]) if out else cand
-            uniq, first_idx = np.unique(pool, return_index=True)
-            base = pool.shape[0] - cand.shape[0]
-            keep = np.zeros(cand.shape[0], dtype=bool)
-            keep[first_idx[first_idx >= base] - base] = True
-            if lc_prefix > 0:
-                pl = cand >> np.uint64(2 * (k - lc_prefix))
-                keep &= dust_scores(pl.astype(np.uint64), lc_prefix) <= 50
-            out.append(cand[keep])
-            need = need[~keep]
-        masks = np.concatenate(out)
-        return cls(masks, k, seed)
+        suf_bits = 2 * (k - p)
+        suf_mask = (1 << suf_bits) - 1
+        lc_shift = 2 * (k - lc_prefix) if lc_prefix > 0 else 0
+
+        def lc_ok(mask: int) -> bool:
+            if lc_prefix <= 0:
+                return True
+            pl = np.array([mask >> lc_shift], dtype=np.uint64)
+            return bool(dust_scores(pl, lc_prefix)[0] <= 50)
+
+        r = GoRand(seed)
+        extras: list[int] = []
+        if m > npref:
+            prefixes = list(range(npref))
+            r.shuffle_list(prefixes)
+            need = m - npref
+            while need > npref:  # prefixes duplicated 3+ times (m > 2*4^p)
+                extras.extend(prefixes)
+                need -= npref
+            extras.extend(prefixes[:need])
+
+        masks: list[int] = []
+        # first suffix bases already used per prefix, as a bitmask of 4
+        first_bases = np.zeros(npref, dtype=np.uint8)
+        fb_shift = suf_bits - 2
+        for pref in range(npref):
+            while True:
+                suf = wang_hash64_int(r.uint64()) & suf_mask
+                mask = (pref << suf_bits) | suf
+                if lc_ok(mask):
+                    break
+            masks.append(mask)
+            if suf_bits >= 2:
+                first_bases[pref] |= 1 << (suf >> fb_shift)
+        for pref in extras:
+            while True:
+                suf = wang_hash64_int(r.uint64()) & suf_mask
+                mask = (pref << suf_bits) | suf
+                if suf_bits >= 2 and (first_bases[pref] >> (suf >> fb_shift)) & 1:
+                    continue  # ref re-rolls until the base after the prefix differs
+                if lc_ok(mask):
+                    break
+            masks.append(mask)
+            if suf_bits >= 2:
+                first_bases[pref] |= 1 << (suf >> fb_shift)
+        return cls(np.array(masks, dtype=np.uint64), k, seed)
 
     # -- IO ---------------------------------------------------------------
 

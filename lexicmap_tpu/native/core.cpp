@@ -753,24 +753,17 @@ int64_t fill_deserts_native(
         ttt = (ttt << 2) | 3ULL;
     }
 
-    // mask prefix ranges: masks sorted, prefixes contiguous
-    int64_t npref = 1LL << (2 * prefix_len);
+    // prefix_len here is the mask set's DISTINCT prefix length (unique per
+    // mask; ref: lexichash MaskKnownDistinctPrefixes(_, _, false)).  It can
+    // be large for text-loaded sets, so use binary search over the sorted
+    // masks / window k-mers instead of 4^L tables.
     int shift = 2 * (k - prefix_len);
-    std::vector<int64_t> plo((size_t)npref + 1);
-    {
-        int64_t j = 0;
-        for (int64_t p = 0; p <= npref; ++p) {
-            while (j < m && (int64_t)(masks[j] >> shift) < p) ++j;
-            plo[(size_t)p] = j;
-        }
-    }
+    std::vector<uint64_t> mask_prefs((size_t)m);
+    for (int64_t j = 0; j < m; ++j) mask_prefs[(size_t)j] = masks[j] >> shift;
 
     int64_t n_out = 0;
     int64_t pre = 0;
-    // window k-mers bucketed by their prefix_len-prefix (counting sort —
-    // cheaper than a full sort; capturing_mask only needs one bucket)
-    std::vector<uint64_t> wk;
-    std::vector<int32_t> bcnt((size_t)npref + 1);
+    std::vector<uint64_t> wk;  // sorted window k-mers (both strands)
 
     for (int64_t li = 0; li <= nlocs; ++li) {
         int64_t pos = (li < nlocs) ? (int64_t)(locs[li] >> 1) : (L - k);
@@ -786,31 +779,30 @@ int64_t fill_deserts_native(
         if (nw <= 0) { pre = pos; continue; }
         int64_t pos_of_cur = pos_of_pre + d;
 
-        // counting-sort window k-mers into prefix buckets
-        std::fill(bcnt.begin(), bcnt.end(), 0);
+        // sorted window k-mers: each distinct-prefix bucket is a contiguous
+        // range found by binary search.  K-mers at excluded (interval/gap)
+        // positions never compete: the reference's N-filled junctions yield
+        // no valid k-mers there, while our A-filled junction codes would.
+        wk.clear();
+        wk.reserve((size_t)(2 * nw));
         for (int64_t i = 0; i < nw; ++i) {
-            bcnt[(size_t)(fwd[start + i] >> shift) + 1]++;
-            bcnt[(size_t)(rc[start + i] >> shift) + 1]++;
+            int64_t gp = start + i;
+            if (interval_excluded && gp < n_excl && interval_excluded[gp]) continue;
+            wk.push_back(fwd[gp]);
+            wk.push_back(rc[gp]);
         }
-        for (int64_t p = 0; p < npref; ++p) bcnt[(size_t)p + 1] += bcnt[(size_t)p];
-        wk.assign((size_t)(2 * nw), 0);
-        {
-            std::vector<int32_t> fill(bcnt.begin(), bcnt.end() - 1);
-            for (int64_t i = 0; i < nw; ++i) {
-                uint64_t a = fwd[start + i];
-                uint64_t b = rc[start + i];
-                wk[(size_t)fill[(size_t)(a >> shift)]++] = a;
-                wk[(size_t)fill[(size_t)(b >> shift)]++] = b;
-            }
-        }
+        std::sort(wk.begin(), wk.end());
 
         auto capturing_mask = [&](uint64_t x) -> int64_t {
-            int64_t pref = (int64_t)(x >> shift);
-            int64_t mlo = plo[(size_t)pref], mhi = plo[(size_t)pref + 1];
+            uint64_t pref = x >> shift;
+            auto mr = std::equal_range(mask_prefs.begin(), mask_prefs.end(), pref);
+            int64_t mlo = mr.first - mask_prefs.begin();
+            int64_t mhi = mr.second - mask_prefs.begin();
             if (mhi <= mlo) return -1;
-            // competitor bucket: window k-mers sharing the prefix
-            int64_t bl = bcnt[(size_t)pref];
-            int64_t bh = bcnt[(size_t)pref + 1];
+            uint64_t lo_val = pref << shift;
+            uint64_t hi_val = lo_val | ((shift >= 64) ? ~0ULL : ((1ULL << shift) - 1));
+            int64_t bl = std::lower_bound(wk.begin(), wk.end(), lo_val) - wk.begin();
+            int64_t bh = std::upper_bound(wk.begin(), wk.end(), hi_val) - wk.begin();
             int64_t best = -1;
             for (int64_t j = mhi - 1; j >= mlo; --j) {  // highest mask wins
                 uint64_t mk = masks[j];

@@ -10,11 +10,17 @@ Semantics implemented here (reconstructed; see masks.py docstring):
 - Per mask: captured k-mer = argmin over candidates of (kmer XOR mask);
   captured positions = ALL occurrences of that k-mer, encoded pos<<1|strand,
   sorted ascending.
-- check_shorter_prefix=True  -> global argmin (a mask always captures if any
-  candidate exists).
-- check_shorter_prefix=False -> a mask only captures when the winner shares at
-  least the mask-prefix-length bases with the mask (used in desert filling,
-  ref: lib-index-build.go:1196).
+- check_shorter_prefix=False (the BUILD-side rule; ref: lib-index-build.go
+  :1026,1196): a mask only captures when the winner shares the mask's full
+  DISTINCT prefix (masks.py distinct_prefix_len; p+1 for generated sets
+  with duplicated prefixes).  Verified against the reference demo's
+  seed-prefix histogram (demo/prefix.hist.png: no forward seed shares < 8
+  bases with its mask, even for masks whose 8-prefix is depleted in a
+  genome, e.g. CTAG-avoiding species) and the docs' `utils kmers` dumps.
+- check_shorter_prefix=True (the QUERY-side rule; ref:
+  lib-index-search.go:1175): global argmin, sub-distinct-prefix winners
+  kept — they matter for suffix matching, where a low-LCP query k-mer can
+  still share a long SUFFIX with a stored seed.
 
 The host implementation below is a vectorized bit-trie descent over the sorted
 candidate k-mer array (NumPy).  The batched TPU capture kernel lives in
@@ -141,9 +147,13 @@ def capture(
     winners = sk[lo]
 
     if not check_shorter_prefix:
+        # a mask only captures k-mers sharing its full DISTINCT prefix
+        # (ref: lexichash MaskKnownDistinctPrefixes(_, _, false); see module
+        # docstring — the build-side rule, verified vs demo/prefix.hist.png)
         lcp = kmer_lcp(winners, mask_set.masks, k)
-        ok = lcp >= mask_set.prefix_len
+        ok = lcp >= mask_set.distinct_prefix_len
     else:
+        # checkShorterPrefix=true (query side): keep every winner
         ok = np.ones(m, dtype=bool)
 
     counts = np.where(ok, hi - lo, 0)

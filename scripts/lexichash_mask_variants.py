@@ -213,3 +213,34 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+# ---------------- Wang-hash suffix variants (round-2 session 2) ----------------
+
+def wang64(key: int) -> int:
+    M = (1 << 64) - 1
+    key = ((~key & M) + ((key << 21) & M)) & M
+    key ^= key >> 24
+    key = (key + ((key << 3) & M) + ((key << 8) & M)) & M
+    key ^= key >> 14
+    key = (key + ((key << 2) & M) + ((key << 4) & M)) & M
+    key ^= key >> 28
+    key = (key + ((key << 31) & M)) & M
+    return key
+
+
+def suf_wang_uint64(r: GoRand) -> int:
+    return wang64(r.uint64()) & SUF_MASK
+
+
+def suf_wang_int63(r: GoRand) -> int:
+    return wang64(r.int63()) & SUF_MASK
+
+
+def suf_wang_top(r: GoRand) -> int:
+    return wang64(r.uint64()) >> (64 - SUF_BITS)
+
+
+SUFFIXES["wang(uint64)&48"] = suf_wang_uint64
+SUFFIXES["wang(int63)&48"] = suf_wang_int63
+SUFFIXES["wang(uint64)>>16"] = suf_wang_top
