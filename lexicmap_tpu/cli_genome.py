@@ -6,6 +6,7 @@
 from __future__ import annotations
 
 import itertools
+import sys
 
 from .cli_utils import _open_out
 
@@ -114,17 +115,25 @@ def cmd_genome_pair(args) -> int:
     from .index.gsearch import genome_pairs
     from .index.search import IndexSearcher, SearchOptions
 
+    nm = args.masks
+    if nm != 0 and not (nm >= 64 and (nm & (nm - 1)) == 0 and (nm.bit_length() - 1) % 2 == 0):
+        print(
+            "the value of -m/--masks should be 0 (for all masks) or a power "
+            "of 4 >= 64 (e.g., 64, 256, 1024, 4096, 16384)",
+            file=sys.stderr,
+        )
+        return 1
     idx = IndexSearcher(args.index, SearchOptions())
-    m = idx.mask_set.m
+    total = nm if nm else idx.mask_set.m
     out, own = _open_out(args.out_file)
     out.write("genome1\tgenome2\tminPrefix\tfracMasks\tnMasks\tsumPrefix\tavgPrefix\n")
     for g1, g2, n_masks, sum_prefix in genome_pairs(
-        idx, args.min_prefix, args.min_frac_masks
+        idx, args.min_prefix, args.min_mask_fraction, args.prob_threshold, nm
     ):
         id1 = idx.id_of_code.get(g1, b"?").decode()
         id2 = idx.id_of_code.get(g2, b"?").decode()
         out.write(
-            f"{id1}\t{id2}\t{args.min_prefix}\t{n_masks / m:.4f}\t{n_masks}\t"
+            f"{id1}\t{id2}\t{args.min_prefix}\t{n_masks / total:.4f}\t{n_masks}\t"
             f"{sum_prefix}\t{sum_prefix / n_masks:.2f}\n"
         )
     if own:
@@ -252,9 +261,16 @@ def register_genome(sub) -> None:
     p.add_argument("-o", "--out-file", default="-")
     p.add_argument("-p", "--min-prefix", type=int, default=21)
     p.add_argument(
-        "-s", "--min-frac-masks", type=float, default=0.01,
-        help="minimum fraction of supporting masks (approximation of the "
-        "reference's binomial p-value pruning)",
+        "-m", "--masks", type=int, default=1024,
+        help="number of masks to use (0 for all; power of 4, >= 64)",
+    )
+    p.add_argument(
+        "-f", "--min-mask-fraction", type=float, default=0.25,
+        help="minimum fraction of masks with seeds sharing >= min-prefix",
+    )
+    p.add_argument(
+        "-s", "--prob-threshold", type=float, default=0.001,
+        help="binomial-probability pruning threshold (0 disables pruning)",
     )
     p.set_defaults(func=cmd_genome_pair)
 

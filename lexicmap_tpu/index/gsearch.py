@@ -730,83 +730,187 @@ def min_shared_kmers_threshold(
 # genome pair (ref: pair.go)
 
 
-def genome_pairs(idx: IndexSearcher, min_prefix: int = 21, min_frac_masks: float = 0.01):
-    """Find similar genome pairs: per mask, genomes whose captured k-mers
-    share >= min_prefix bases; per pair count masks and sum the best shared
-    prefix length (ref: pair.go:221-330).
+def should_keep_pair(
+    n: int, k_matches: int, t: float, S: int, prob_threshold: float
+) -> bool:
+    """Binomial-probability pruning check (ref: pair.go:730-789, the
+    Agievich bound approximation from the Onika paper).
 
-    min_frac_masks replaces the reference's binomial p-value pruning (-s)
-    with a minimum fraction of supporting masks (documented approximation).
+    n: masks processed so far; k_matches: matches observed; t: minimum
+    mask fraction; S: total masks; returns True if P(reach t*S) is above
+    prob_threshold."""
+    import math
 
-    Yields (genome1_code, genome2_code, n_masks, sum_prefix)."""
+    required = int(t * S)
+    if k_matches >= required:
+        return True
+    remaining = S - n
+    if k_matches + remaining < required:
+        return False
+    fn = float(n)
+    fk = float(k_matches)
+    p = t
+    if n > 0:
+        observed = fk / fn
+        if observed > p:
+            p = observed
+    p = max(1e-12, min(1.0 - 1e-12, p))
+    q = 1.0 - p
+    diff = fk - 0.5 * fn
+    log_coeff = (
+        fn * math.log(2.0)
+        - 0.5 * math.log(math.pi * fn / 2.0)
+        - 2.0 * diff * diff / fn
+        + 23.0 / (18.0 * fn)
+    )
+    log_mass = log_coeff + fk * math.log(p) + (fn - fk) * math.log(q)
+    if log_mass > 0.0:
+        return True
+    return log_mass >= math.log(prob_threshold)
+
+
+def genome_pairs(
+    idx: IndexSearcher,
+    min_prefix: int = 21,
+    min_mask_fraction: float = 0.25,
+    prob_threshold: float = 0.001,
+    n_masks: int = 1024,
+):
+    """Find similar genome pairs (ref: pair.go).
+
+    Per mask (a subset of n_masks masks by default — the first mask of each
+    log4(n_masks)-bp prefix, ref: pair.go:162-179), genomes whose captured
+    k-mers share >= min_prefix bases are counted as a pair match, keeping
+    the maximum shared-prefix length per pair per mask (ref:
+    processKmerWithWindow, pair.go:817-933; reversed/suffix seed copies are
+    skipped).  Pairs are pruned early with the binomial-probability check
+    (should_keep_pair, every 8 masks) and kept when they match at least
+    min_mask_fraction of the processed masks.  Masks are processed in
+    ascending index order (the reference's goroutine merge order is
+    nondeterministic; the final counts are identical, only which pairs are
+    transiently pruned can differ at the margin).
+
+    Returns [(genome1_code, genome2_code, n_masks_matched, sum_prefix)]
+    sorted by (n_masks_matched, sum_prefix) descending."""
     k = idx.k
     m = idx.mask_set.m
+    if n_masks and n_masks > 0:
+        import math as _math
+
+        mp = int(_math.log2(n_masks) / 2)
+        prefs = idx.mask_set.masks >> np.uint64(2 * (k - mp))
+        chosen_sel = np.ones(m, dtype=bool)
+        chosen_sel[1:] = prefs[1:] != prefs[:-1]  # first mask per prefix
+        chosen = set(np.nonzero(chosen_sel)[0].tolist())
+        total_masks = len(chosen)
+    else:
+        chosen = None
+        total_masks = m
+    required = int(min_mask_fraction * total_masks)
+
     shift = np.uint64(2 * (k - min_prefix))
-    pair_masks: dict[tuple[int, int], int] = {}
-    pair_sum: dict[tuple[int, int], int] = {}
+    active: dict[tuple[int, int], int] = {}
+    gsum: dict[tuple[int, int], int] = {}
+    processed = 0
     for rdr in idx.chunks:
         entry_kmers = np.asarray(rdr.kmers)
         entry_off = np.asarray(rdr.entry_offsets)
         values = np.asarray(rdr.values)
         mask_off = np.asarray(rdr.mask_offsets)
         for mi in range(rdr.mask_end - rdr.mask_begin):
+            if chosen is not None and (rdr.mask_begin + mi) not in chosen:
+                continue
+            processed += 1
             e0, e1 = int(mask_off[mi]), int(mask_off[mi + 1])
-            if e1 - e0 < 2:
-                continue
-            kmers = entry_kmers[e0:e1]
-            # skip suffix entries (first value reversed)
-            first_vals = values[entry_off[e0:e1]]
-            fwd_sel = (first_vals & np.uint64(1)) == 0
-            if fwd_sel.sum() < 2:
-                continue
-            eidx = np.arange(e0, e1)[fwd_sel]
-            kk = kmers[fwd_sel]
-            prefs = kk >> shift
-            # bucket by min_prefix prefixes
-            bounds = np.nonzero(prefs[1:] != prefs[:-1])[0] + 1
-            starts = np.concatenate([[0], bounds])
-            ends = np.concatenate([bounds, [kk.shape[0]]])
-            per_mask_best: dict[tuple[int, int], int] = {}
-            for s, e in zip(starts, ends):
-                if e - s < 2:
-                    continue
-                # genomes in this bucket
-                bucket_entries = eidx[s:e]
-                bucket_kmers = kk[s:e]
-                glist = []
-                for be, bk in zip(bucket_entries, bucket_kmers):
+            per_mask: dict[tuple[int, int], int] = {}
+            if e1 - e0 > 0:
+                kk = entry_kmers[e0:e1]
+                # per-entry genome lists from FORWARD values only
+                # (ref: pair.go:566-568 skips reverse-complement copies)
+                glists = []
+                for be in range(e0, e1):
                     vv = values[entry_off[be] : entry_off[be + 1]]
-                    gcodes = np.unique((vv >> np.uint64(BITS_NONE_IDX)).astype(np.int64))
-                    for g in gcodes:
-                        glist.append((int(g), int(bk)))
-                # pairwise LCPs within bucket
-                for i in range(len(glist)):
-                    for j in range(i + 1, len(glist)):
-                        g1, k1 = glist[i]
-                        g2, k2 = glist[j]
-                        if g1 == g2:
+                    fwd = (vv & np.uint64(1)) == 0
+                    g = (vv[fwd] >> np.uint64(BITS_NONE_IDX)).astype(np.int64)
+                    glists.append(np.unique(g))
+                # same-kmer pairs: prefix = k (ref: pair.go:884-914)
+                for g in glists:
+                    for i in range(g.shape[0]):
+                        for j in range(i + 1, g.shape[0]):
+                            key = (int(g[i]), int(g[j]))
+                            if per_mask.get(key, 0) < k:
+                                per_mask[key] = k
+                # cross-kmer pairs: bucket by min_prefix-prefix (equivalent
+                # to the reference's LCP >= minPrefix window)
+                prefs_ = kk >> shift
+                bounds = np.nonzero(prefs_[1:] != prefs_[:-1])[0] + 1
+                starts = np.concatenate([[0], bounds])
+                ends = np.concatenate([bounds, [kk.shape[0]]])
+                for s, e in zip(starts, ends):
+                    if e - s < 2:
+                        continue
+                    for i in range(s, e):
+                        if glists[i].shape[0] == 0:
                             continue
-                        a, b = (g1, g2) if g1 < g2 else (g2, g1)
-                        l = int(
-                            kmer_lcp(
-                                np.array([k1], dtype=np.uint64),
-                                np.array([k2], dtype=np.uint64),
-                                k,
-                            )[0]
+                        for j in range(i + 1, e):
+                            if glists[j].shape[0] == 0:
+                                continue
+                            l = int(
+                                kmer_lcp(
+                                    np.array([kk[i]], dtype=np.uint64),
+                                    np.array([kk[j]], dtype=np.uint64),
+                                    k,
+                                )[0]
+                            )
+                            for g1 in glists[i]:
+                                for g2 in glists[j]:
+                                    if g1 == g2:
+                                        continue
+                                    key = (
+                                        (int(g1), int(g2))
+                                        if g1 < g2
+                                        else (int(g2), int(g1))
+                                    )
+                                    if per_mask.get(key, 0) < l:
+                                        per_mask[key] = l
+            # merge into global counts with probabilistic pruning
+            # (ref: pair.go:283-330)
+            if prob_threshold <= 0:
+                for key, l in per_mask.items():
+                    active[key] = active.get(key, 0) + 1
+                    gsum[key] = gsum.get(key, 0) + l
+            else:
+                add_new = False
+                if 1 + (total_masks - processed) >= required:
+                    add_new = should_keep_pair(
+                        processed, 1, min_mask_fraction, total_masks, prob_threshold
+                    )
+                for key, l in per_mask.items():
+                    if key in active:
+                        active[key] += 1
+                        gsum[key] += l
+                    elif add_new:
+                        active[key] = 1
+                        gsum[key] = gsum.get(key, 0) + l
+                if processed < total_masks and processed & 7 == 0:
+                    for key in [
+                        key
+                        for key, matches in active.items()
+                        if matches > 1
+                        and not should_keep_pair(
+                            processed,
+                            matches,
+                            min_mask_fraction,
+                            total_masks,
+                            prob_threshold,
                         )
-                        if l < min_prefix:
-                            continue
-                        key = (a, b)
-                        if l > per_mask_best.get(key, 0):
-                            per_mask_best[key] = l
-            for key, l in per_mask_best.items():
-                pair_masks[key] = pair_masks.get(key, 0) + 1
-                pair_sum[key] = pair_sum.get(key, 0) + l
+                    ]:
+                        del active[key]
+                        del gsum[key]
 
-    min_masks = max(int(m * min_frac_masks), 1)
     out = []
-    for key, n in pair_masks.items():
-        if n >= min_masks:
-            out.append((key[0], key[1], n, pair_sum[key]))
-    out.sort(key=lambda t: -t[2])
+    for key, n in active.items():
+        if n >= required:
+            out.append((key[0], key[1], n, gsum[key]))
+    out.sort(key=lambda t: (-t[2], -t[3]))
     return out

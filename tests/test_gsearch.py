@@ -115,7 +115,7 @@ def test_compare_two_genomes(setup):
 
 def test_genome_pairs(setup):
     idx, genomes, files, d = setup
-    pairs = genome_pairs(idx, min_prefix=21, min_frac_masks=0.01)
+    pairs = genome_pairs(idx, min_prefix=21, min_mask_fraction=0.01, n_masks=0)
     assert pairs
     top = pairs[0]
     ids = {idx.id_of_code[top[0]].decode(), idx.id_of_code[top[1]].decode()}
@@ -132,3 +132,35 @@ def test_ortho_ani(setup):
     assert n > 50
     assert ani == pytest.approx(0.98, abs=0.01)
     assert af_q > 0.5 and af_s > 0.5
+
+
+def test_should_keep_pair_bounds():
+    """Agievich-bound pruning (ref: pair.go:730-789)."""
+    from lexicmap_tpu.index.gsearch import should_keep_pair
+
+    # already reached the threshold
+    assert should_keep_pair(100, 30, 0.25, 100, 0.001)
+    # impossible even if all remaining masks match
+    assert not should_keep_pair(90, 1, 0.25, 100, 0.001)
+    # early on, a single match is still plausible
+    assert should_keep_pair(1, 1, 0.25, 1024, 0.001)
+    # far below the required rate late in the scan -> pruned
+    assert not should_keep_pair(512, 10, 0.25, 1024, 0.001)
+    # on-track pair survives
+    assert should_keep_pair(512, 200, 0.25, 1024, 0.001)
+
+
+def test_genome_pairs_mask_subset(setup):
+    """-m subset (first mask per log4(m)-prefix) must agree with all-masks
+    results on which pair ranks first."""
+    idx, genomes, files, d = setup
+    m = idx.mask_set.m
+    # the test index has few masks; use the largest power of 4 <= m
+    import math
+    nm = 4 ** int(math.log(m, 4))
+    pairs = genome_pairs(idx, min_prefix=21, min_mask_fraction=0.01, n_masks=nm)
+    assert pairs
+    ids = {idx.id_of_code[pairs[0][0]].decode(), idx.id_of_code[pairs[0][1]].decode()}
+    assert ids == {"GA", "GB"}
+    # matched-mask count cannot exceed the subset size
+    assert all(p[2] <= nm for p in pairs)
