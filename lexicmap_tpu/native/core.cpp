@@ -327,6 +327,14 @@ int64_t wfa_align_stats(const uint8_t* q, int64_t n, const uint8_t* t, int64_t m
 // ---------------------------------------------------------------------------
 // Chainer2 forward pass (ref: lib-chaining2.go:222-307; ops/chaining2.py)
 
+// scan-length statistics (diagnostic; fetched/reset by get_chain2_scan_stats)
+static int64_t g_c2_scan_total = 0, g_c2_scan_max = 0, g_c2_scan_n = 0;
+extern "C" void get_chain2_scan_stats(int64_t* out);
+void get_chain2_scan_stats(int64_t* out) {
+    out[0] = g_c2_scan_total; out[1] = g_c2_scan_max; out[2] = g_c2_scan_n;
+    g_c2_scan_total = g_c2_scan_max = g_c2_scan_n = 0;
+}
+
 void chain2_forward(const int64_t* qb, const int64_t* tb, const int64_t* ln,
                     int64_t n, int32_t band_base, int32_t band_count,
                     double max_gap, double* max_scores, int64_t* prev_idx) {
@@ -357,7 +365,8 @@ void chain2_forward(const int64_t* qb, const int64_t* tb, const int64_t* ln,
         int64_t m = cl[(size_t)i];
         int64_t mj = i;
         int64_t bcount = 0;
-        for (int64_t j = i - 1; j >= 0; --j) {
+        int64_t j;
+        for (j = i - 1; j >= 0; --j) {
             const int32_t bq2 = cq[(size_t)j];
             // monotone early exit: qb ascending, so once the band test must
             // fail for every remaining non-skipped anchor the scan is decided
@@ -378,6 +387,10 @@ void chain2_forward(const int64_t* qb, const int64_t* tb, const int64_t* ln,
         msl[(size_t)i] = m + cl[(size_t)i];
         max_scores[i] = (double)m;
         prev_idx[i] = mj;
+        int64_t scanned = i - 1 - j;  // entries examined before the break
+        g_c2_scan_total += scanned;
+        if (scanned > g_c2_scan_max) g_c2_scan_max = scanned;
+        ++g_c2_scan_n;
     }
 }
 
