@@ -44,12 +44,12 @@ def pack_words16(codes: np.ndarray, pad_to: int) -> np.ndarray:
     """w[i] = 16 bases starting at i, 2-bit MSB-first, A-padded (host-side
     preparation; mirrors ops/wfa.py:_pack_words but 16 bases in int32)."""
     n = codes.shape[0]
+    c = np.zeros(n + 16, dtype=np.uint32)
+    c[:n] = codes
     w = np.zeros(pad_to + 1, dtype=np.uint32)
-    c = codes.astype(np.uint32)
-    acc = np.uint32(0)
-    for i in range(n - 1, -1, -1):
-        acc = (acc >> np.uint32(2)) | (c[i] << np.uint32(30))
-        w[i] = acc
+    acc = w[: n]
+    for z in range(16):  # 16 vectorized shifted adds, not a per-base loop
+        acc |= c[z : z + n] << np.uint32(30 - 2 * z)
     return w.astype(np.int32)
 
 

@@ -128,3 +128,58 @@ def test_sharded_screening_real_index(tmp_path):
             lcp0 = int(kmer_lcp(row[np.argmax(sel)], np.uint64(q), 31))
             expect += n * lcp0
     assert scores[0] == pytest.approx(expect)
+
+
+def test_sharded_full_pipeline_tsv_identical(tmp_path):
+    """The REAL search pipeline with its seed index sharded over the
+    8-device mesh must reproduce the single-device TSV byte-for-byte:
+    phase 1 runs as one sharded dispatch (per-shard prefix locate + tiled
+    all_gather over tp), phases 2b-4 are the identical host code."""
+    import numpy as np
+
+    from lexicmap_tpu.cli import format_hit_rows
+    from lexicmap_tpu.index.build import BuildOptions, build_index
+    from lexicmap_tpu.index.search import IndexSearcher, SearchOptions
+    from lexicmap_tpu.parallel.sharded import ShardedSeedMatcher, make_mesh
+    from lexicmap_tpu.utils.kmers import seq_to_codes
+
+    rng = np.random.default_rng(11)
+    files = []
+    seqs = {}
+    for i in range(4):
+        seq = bytes(rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=40000))
+        p = tmp_path / f"G{i}.fasta"
+        with open(p, "wb") as fh:
+            fh.write(b">c0\n" + seq + b"\n")
+        seqs[f"G{i}"] = seq
+        files.append(str(p))
+    db = str(tmp_path / "g.lmt")
+    build_index(db, files, BuildOptions(k=31, n_masks=512, chunks=2))
+    idx = IndexSearcher(db, SearchOptions())
+
+    # queries: exact windows, a mutated window, and a cross-genome chimera
+    alphabet = np.frombuffer(b"ACGT", dtype=np.uint8)
+    q1 = seqs["G0"][5000:7000]
+    q2 = seqs["G2"][10000:11500]
+    q3 = bytearray(seqs["G1"][2000:4000])
+    for pos in rng.integers(0, len(q3), size=20):
+        q3[pos] = alphabet[rng.integers(0, 4)]
+    q3 = bytes(q3)
+    q4 = seqs["G3"][1000:2200] + seqs["G0"][30000:31000]
+    queries = [q1, q2, q3, q4]
+
+    mesh = make_mesh(8)
+    matcher = ShardedSeedMatcher(idx, mesh)
+
+    codes = [seq_to_codes(q) for q in queries]
+    masked = [idx._mask_query(c) for c in codes]
+    batch = np.stack([m[0] for m in masked])
+    dev = matcher.match_batch(batch, idx.opt.min_prefix)
+
+    for qi, c in enumerate(codes):
+        host_hits = idx.search(c)
+        shard_hits = idx.search(c, premasked=masked[qi], dev_hits_pre=dev[qi])
+        host_rows = list(format_hit_rows(f"q{qi}", len(queries[qi]), host_hits))
+        shard_rows = list(format_hit_rows(f"q{qi}", len(queries[qi]), shard_hits))
+        assert host_rows, f"query {qi} found nothing"
+        assert shard_rows == host_rows
