@@ -573,20 +573,13 @@ class IndexSearcher:
     # ------------------------------------------------------------------
     # phase 4: alignment
 
-    def _align_genome_native(self, qcodes, hit: GenomeHit, anchors: Anchors, paths, cpr):
-        """Fused native phase 4: one C call per genome runs pseudo-alignment,
-        contig assignment, dedup, extension, WFA and scoring for every chain
-        window (core.cpp align_paths); this method only prepares the target
-        windows and assembles SeqDetails from the returned rows.  Returns
-        NotImplemented when the caller must use the per-chain Python path.
-        Same semantics as the loop in _align_genome (ref: falin,
-        lib-index-search.go:1845-2720)."""
-        from ..native import align_paths_native, get_lib
-
-        if get_lib() is None or cpr.qk is None:
-            return NotImplemented
+    def _path_windows(self, qcodes, hit: GenomeHit, anchors: Anchors, paths):
+        """Prepare the target windows of every chain path (must be called
+        with paths already sorted by first-anchor TBegin).  Returns
+        (windows [tcodes...], metas [(q_begin, q_end, t_begin, t_end, rc,
+        n_seeds)], trec) — shared by the host fused phase 4 and the device
+        engine so window order/coordinates can never diverge."""
         opt = self.opt
-        k = self.k
         qlen = qcodes.shape[0]
         ext_len = opt.extend_length
         store = self.genome_stores[hit.genome_batch]
@@ -623,9 +616,51 @@ class IndexSearcher:
                 tcodes = (np.uint8(3) - tcodes)[::-1]
             windows.append(np.ascontiguousarray(tcodes))
             metas.append((q_begin, q_end, t_begin, t_end, rc, len(path)))
+        return windows, metas, trec
 
+    def _align_genome_native(self, qcodes, hit: GenomeHit, anchors: Anchors, paths, cpr,
+                             pseudo=None):
+        """Fused native phase 4: one C call per genome runs pseudo-alignment,
+        contig assignment, dedup, extension, WFA and scoring for every chain
+        window (core.cpp align_paths); this method only prepares the target
+        windows and assembles SeqDetails from the returned rows.  Returns
+        NotImplemented when the caller must use the per-chain Python path.
+        pseudo: optional device pseudo-align results, one entry per sorted
+        path: ('rows', int64 [C, 8]) | ('none', None) | ('host', None).
+        Same semantics as the loop in _align_genome (ref: falin,
+        lib-index-search.go:1845-2720)."""
+        from ..native import align_paths_native, get_lib
+
+        if get_lib() is None or cpr.qk is None:
+            return NotImplemented
+        opt = self.opt
+        k = self.k
+        qlen = qcodes.shape[0]
+
+        windows, metas, trec = self._path_windows(qcodes, hit, anchors, paths)
         if trec is None:
             return None
+
+        pre_rows = pre_off = pre_cnt = None
+        if pseudo is not None:
+            assert len(pseudo) == len(windows)
+            pre_cnt = np.full(len(windows), -1, dtype=np.int64)
+            pre_off = np.zeros(len(windows), dtype=np.int64)
+            blocks = []
+            off = 0
+            for i, (kind, rows) in enumerate(pseudo):
+                if kind == "none":
+                    pre_cnt[i] = 0
+                elif kind == "rows":
+                    pre_cnt[i] = rows.shape[0]
+                    pre_off[i] = off
+                    blocks.append(rows)
+                    off += rows.shape[0]
+            pre_rows = (
+                np.ascontiguousarray(np.concatenate(blocks))
+                if blocks
+                else np.zeros((0, 8), dtype=np.int64)
+            )
         t_len = np.array([w.shape[0] for w in windows], dtype=np.int64)
         t_off = np.zeros(len(windows), dtype=np.int64)
         np.cumsum(t_len[:-1], out=t_off[1:])
@@ -647,6 +682,7 @@ class IndexSearcher:
             np.asarray(trec.seq_sizes, dtype=np.int64), self.contig_interval, k,
             opt.extend_length2, self.total_bases, opt.max_evalue,
             opt.min_qcov_hsp, opt.min_identity,
+            pre_rows=pre_rows, pre_off=pre_off, pre_cnt=pre_cnt,
         )
         if rows is None:
             return NotImplemented
@@ -718,7 +754,8 @@ class IndexSearcher:
         hit.details = sds
         return hit
 
-    def _align_genome(self, qcodes, hit: GenomeHit, anchors: Anchors, paths, cpr: SeqComparator):
+    def _align_genome(self, qcodes, hit: GenomeHit, anchors: Anchors, paths, cpr: SeqComparator,
+                      pseudo=None):
         """(ref: falin, lib-index-search.go:1845-2720)"""
         opt = self.opt
         k = self.k
@@ -734,7 +771,7 @@ class IndexSearcher:
         paths = sorted(paths, key=lambda p: int(anchors.tbegin[p[0]]))
 
         if not opt.output_seq:
-            r = self._align_genome_native(qcodes, hit, anchors, paths, cpr)
+            r = self._align_genome_native(qcodes, hit, anchors, paths, cpr, pseudo=pseudo)
             if r is not NotImplemented:
                 return r
 
@@ -1092,6 +1129,16 @@ class IndexSearcher:
         if not hits:
             return []
 
+        return self._phase4_assemble(qcodes, hits, debug=debug, t0=t0)
+
+    def _phase4_assemble(self, qcodes, hits, pseudo_map=None, debug=False, t0=0.0):
+        """Phase 4 (per-genome alignment) + final result assembly.
+
+        pseudo_map: optional {hit_index -> per-sorted-path device pseudo-align
+        results} computed up front by the device engine (parallel/engine.py)."""
+        import sys
+        import time
+
         cpr = SeqComparator(self.opt.seqcompare_options())
         cpr.index(qcodes)
 
@@ -1111,16 +1158,22 @@ class IndexSearcher:
                 ex = ThreadPoolExecutor(max_workers=min(4, os.cpu_count() or 1))
                 self._phase4_pool = ex
             futs = [
-                ex.submit(self._align_genome, qcodes, hit, anchors, paths, cpr)
-                for hit, anchors, paths in hits
+                ex.submit(
+                    self._align_genome, qcodes, hit, anchors, paths, cpr,
+                    pseudo_map.get(i) if pseudo_map else None,
+                )
+                for i, (hit, anchors, paths) in enumerate(hits)
             ]
             for f in futs:
                 r = f.result()
                 if r is not None:
                     results.append(r)
         else:
-            for hit, anchors, paths in hits:
-                r = self._align_genome(qcodes, hit, anchors, paths, cpr)
+            for i, (hit, anchors, paths) in enumerate(hits):
+                r = self._align_genome(
+                    qcodes, hit, anchors, paths, cpr,
+                    pseudo_map.get(i) if pseudo_map else None,
+                )
                 if r is not None:
                     results.append(r)
 
@@ -1174,29 +1227,22 @@ class IndexSearcher:
         return self.search(seq_to_codes(seq.upper()))
 
     def search_many(self, seqs: list[bytes]) -> list[list[GenomeHit]]:
-        """Search a batch of queries.  With --engine device, the prefix seed
-        matching for the whole batch runs as ONE vmapped Pallas dispatch
-        (amortizing device round-trip latency, which dominates per-query
-        launches through high-latency transports); phases 2-4 then run
-        per query on the host.  Host engine: plain per-query loop."""
-        codes = [seq_to_codes(s.upper()) for s in seqs]
-        if self.device_matcher is None or self.opt.min_prefix > 16:
-            return [self.search(c) for c in codes]
+        """Search a batch of queries.  With --engine device, the whole batch
+        flows through the device engine (parallel/engine.py): seed matching
+        AND per-window pseudo-alignment run as batched TPU dispatches, with
+        the remaining host phases threaded.  Host engine: per-query loop."""
+        if self.device_matcher is None:
+            return [self.search(seq_to_codes(s.upper())) for s in seqs]
 
-        valid = [i for i, c in enumerate(codes) if c.shape[0] >= self.k]
-        batch_pos = {i: b for b, i in enumerate(valid)}
-        masked = {i: self._mask_query(codes[i]) for i in valid}
-        if valid:
-            batch = np.stack([masked[i][0] for i in valid])
-            dev = self.device_matcher.match_batch(batch, self.opt.min_prefix)
+        eng = getattr(self, "_device_engine", None)
+        if eng is None:
+            from ..parallel.engine import DeviceSearchEngine
+
+            eng = DeviceSearchEngine(self)
+            self._device_engine = eng
         out: list[list[GenomeHit]] = []
-        for i, c in enumerate(codes):
-            if i not in masked:
-                out.append([])
-                continue
-            out.append(
-                self.search(c, premasked=masked[i], dev_hits_pre=dev[batch_pos[i]])
-            )
+        for o in range(0, len(seqs), 32):
+            out.extend(eng.search_batch(seqs[o : o + 32]))
         return out
 
 

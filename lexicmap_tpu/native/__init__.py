@@ -175,6 +175,7 @@ def get_lib():
         + [ctypes.c_int64, ctypes.c_double, ctypes.c_double,
            ctypes.c_double, ctypes.c_double]         # ext2, totals, filters
         + [ctypes.c_int32] * 6                       # wfa params
+        + [ctypes.c_void_p] * 3                      # pre_rows, pre_off, pre_cnt
         + [ctypes.c_void_p, ctypes.c_int64]          # out rows
     )
     lib.capture_native.restype = ctypes.c_int64
@@ -631,12 +632,18 @@ def align_paths_native(
     seq_sizes, interval, k,
     ext2_base, total_bases, max_evalue, min_qcov_hsp, min_identity,
     x=4, o=6, e=2, adaptive=True, min_wf_len=10, max_dist_diff=50,
+    pre_rows=None, pre_off=None, pre_cnt=None,
 ):
     """Whole-genome phase-4 fusion: pseudo-align + contig assignment + dedup +
     extend + WFA + scoring for ALL chain windows of one genome in a single C
     call.  Returns the kept-HSP row matrix [n, 18] float64 (see core.cpp
     align_paths for the layout), or None when the caller must fall back to
-    the per-chain Python path (no lib, or a WFA failure)."""
+    the per-chain Python path (no lib, or a WFA failure).
+
+    pre_rows/pre_off/pre_cnt: optional device pseudo-alignment results.  For
+    path pi with pre_cnt[pi] >= 0, the pseudo-align stage is skipped and
+    chains come from pre_rows[pre_off[pi] : pre_off[pi]+pre_cnt[pi]] (8 int64
+    per chain); pre_cnt[pi] == -1 keeps the host pseudo-align for that path."""
     lib = get_lib()
     if lib is None:
         return None
@@ -655,6 +662,14 @@ def align_paths_native(
     p_tbegin, p_tend = i64(p_tbegin), i64(p_tend)
     p_rc = np.ascontiguousarray(p_rc, dtype=np.uint8)
     seq_sizes = i64(seq_sizes)
+    pre_rows_ptr = pre_off_ptr = pre_cnt_ptr = 0
+    if pre_cnt is not None:
+        pre_cnt = i64(pre_cnt)
+        pre_off = i64(pre_off)
+        pre_rows = i64(pre_rows if pre_rows is not None and len(pre_rows) else np.zeros((1, 8)))
+        pre_rows_ptr = pre_rows.ctypes.data
+        pre_off_ptr = pre_off.ctypes.data
+        pre_cnt_ptr = pre_cnt.ctypes.data
     cap = 256
     while True:
         rows = np.empty((cap, 18), dtype=np.float64)
@@ -673,6 +688,7 @@ def align_paths_native(
             int(ext2_base), float(total_bases), float(max_evalue),
             float(min_qcov_hsp), float(min_identity),
             x, o, e, 1 if adaptive else 0, min_wf_len, max_dist_diff,
+            pre_rows_ptr, pre_off_ptr, pre_cnt_ptr,
             rows.ctypes.data, cap,
         )
         if n == -1:

@@ -1651,6 +1651,11 @@ int64_t align_paths(
     double min_qcov_hsp, double min_identity,
     int32_t x, int32_t o, int32_t e,
     int32_t adaptive, int32_t min_wf_len, int32_t max_dist_diff,
+    // optional precomputed pseudo-alignment (device path): per path pi with
+    // pre_cnt[pi] >= 0, chains are taken from pre_rows[pre_off[pi]..] (8
+    // int64 per chain: n_anchors, naq, nat, matched, qb, qe, tb, te — the
+    // exact output of chain2_backtrack) and compare/backtrack are skipped.
+    const int64_t* pre_rows, const int64_t* pre_off, const int64_t* pre_cnt,
     double* out_rows, int64_t row_cap) {
 
     int64_t n_rows = 0;
@@ -1784,6 +1789,19 @@ int64_t align_paths(
         bool rc = p_rc[pi] != 0;
         int64_t t_begin = p_tbegin[pi], t_end = p_tend[pi];
 
+        std::vector<C2R> pre_chains;
+        bool have_pre = pre_cnt != nullptr && pre_cnt[pi] >= 0;
+        if (have_pre) {
+            for (int64_t i = 0; i < pre_cnt[pi]; ++i) {
+                const int64_t* r = pre_rows + (pre_off[pi] + i) * 8;
+                C2R c{};
+                c.n_anchors = r[0]; c.abq = r[1]; c.abt = r[2]; c.matched = r[3];
+                c.qb = r[4]; c.qe = r[5]; c.tb = r[6]; c.te = r[7];
+                pre_chains.push_back(c);
+            }
+            if (pre_chains.empty()) continue;
+        }
+
         // ---- compare (ops/seqcompare.py compare; ref: lib-seq_compare.go:335) ----
         int32_t m = cmp_min_prefix;
         if (L >= 1000000) m += 8;
@@ -1795,7 +1813,8 @@ int64_t align_paths(
         int64_t cap = std::max((int64_t)8 * std::max(L - cmp_k + 1, (int64_t)1), (int64_t)4096);
         int64_t n;
         double tt0 = now_s();
-        while (true) {
+        if (have_pre) { cap = 0; n = 0; }
+        else while (true) {
             aq.resize((size_t)cap); at.resize((size_t)cap); al.resize((size_t)cap);
             arc.resize((size_t)cap); sc_ms.resize((size_t)cap); sc_pv.resize((size_t)cap);
             n = compare_prepare(qk, qv, nq, tcodes, L, qtab, bbits, m, cmp_k,
@@ -1807,10 +1826,12 @@ int64_t align_paths(
             break;
         }
         g_prof[0] += now_s() - tt0;
-        if (n == 0) continue;
+        if (!have_pre && n == 0) continue;
 
         std::vector<C2R> chains;
-        if (n == 1) {
+        if (have_pre) {
+            chains.swap(pre_chains);
+        } else if (n == 1) {
             int64_t slen = al[0];
             if ((double)slen >= c2_min_score && slen >= c2_min_align_len) {
                 C2R c{};

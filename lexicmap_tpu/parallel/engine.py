@@ -1,0 +1,123 @@
+"""The device search engine: a whole query batch flows through the 4-phase
+pipeline with the two dominant compute stages on the TPU.
+
+Per 32-query batch:
+  1. host: query masking (capture + reversed k-mers)         ~6 ms/query
+  2. device: prefix seed matching for ALL queries x 20k masks
+     in ONE vmapped Pallas dispatch (device_search.py)
+  3. host: posting gather + anchor chaining (phases 2b-3)    ~8 ms/query
+  4. device: batched pseudo-alignment of every candidate window of every
+     query — probe sort-join + Chainer2 DP + backtrack (pseudo_device.py),
+     a handful of dispatches for the whole batch
+  5. host: contig assignment + dedup + extension + WFA + scoring via the
+     fused native align_paths with the device chain rows injected
+     (pre_rows), fanned out over threads
+  6. host: result assembly + output ordering
+
+Stages 4 and 5 overlap ACROSS batches: while the host aligns batch N's
+HSPs, the device already pseudo-aligns batch N+1 (submit/collect API).
+
+Output is bit-identical to the host engine: the device pseudo-aligner is
+exact (flagged windows fall back to the host path inside align_paths), and
+everything downstream is the identical host code
+(ref: lib-index-search.go:1154-2897 for the phase structure).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class DeviceSearchEngine:
+    def __init__(self, idx):
+        from ..ops.seqcompare import SeqComparator
+        from .pseudo_device import DevicePseudoAligner
+
+        self.idx = idx
+        self._SeqComparator = SeqComparator
+        copt = idx.opt.seqcompare_options().chaining
+        self.pseudo = DevicePseudoAligner(
+            band_base=copt.band_base,
+            band_count=copt.band_count,
+            max_gap=int(copt.max_gap),
+            min_score=int(copt.min_score),
+            min_align_len=copt.min_align_len,
+        )
+
+    # ------------------------------------------------------------------
+    def search_batch(self, seqs: list[bytes]):
+        """Search up to 32 queries; returns list[list[GenomeHit]]."""
+        prepared = self.prepare_batch(seqs)
+        return self.finish_batch(prepared)
+
+    # ------------------------------------------------------------------
+    # two-stage API so the CLI can overlap host phase 5 of batch N with
+    # device phases 2+4 of batch N+1
+
+    def prepare_batch(self, seqs: list[bytes]):
+        """Phases 1-4: host masking, device seed matching, host chaining,
+        device pseudo-alignment.  Returns an opaque state for finish_batch."""
+        from ..utils.kmers import seq_to_codes
+
+        idx = self.idx
+        codes = [seq_to_codes(s.upper()) for s in seqs]
+        valid = [i for i, c in enumerate(codes) if c.shape[0] >= idx.k]
+        if not valid:
+            return (codes, [], {}, {}, [])
+        assert len(valid) <= 32, "engine batches are capped at 32 queries"
+
+        masked = {i: idx._mask_query(codes[i]) for i in valid}
+        if idx.device_matcher is not None and idx.opt.min_prefix <= 16:
+            batch = np.stack([masked[i][0] for i in valid])
+            dev = idx.device_matcher.match_batch(batch, idx.opt.min_prefix)
+            dev_hits = {i: dev[b] for b, i in enumerate(valid)}
+        else:
+            dev_hits = {i: None for i in valid}
+
+        # phases 2b-3 (host) + window prep, then one device pseudo-align
+        # run over every window of every query
+        hits_of = {}
+        cpr_of = {}
+        queries = []
+        windows = []
+        wmeta = []  # (query_index, hit_pos, path_pos)
+        for b, i in enumerate(valid):
+            per_genome = idx._collect_anchors(
+                codes[i], premasked=masked[i], dev_hits_pre=dev_hits[i]
+            )
+            hits = idx._chain_genomes(per_genome) if per_genome else []
+            hits_of[i] = hits
+            if not hits:
+                continue
+            cpr = self._SeqComparator(idx.opt.seqcompare_options())
+            cpr.index(codes[i])
+            cpr_of[i] = cpr
+            qpos = len(queries)
+            queries.append((cpr.qk, cpr.qv))
+            for hi, (hit, anchors, paths) in enumerate(hits):
+                spaths = sorted(paths, key=lambda p: int(anchors.tbegin[p[0]]))
+                wins, metas, _ = idx._path_windows(codes[i], hit, anchors, spaths)
+                for pp, (w, meta) in enumerate(zip(wins, metas)):
+                    windows.append((qpos, w, meta[0], meta[1]))
+                    wmeta.append((i, hi, pp))
+
+        res = self.pseudo.run_batch(queries, windows) if windows else []
+        pseudo_maps: dict[int, dict[int, list]] = {}
+        for (i, hi, pp), r in zip(wmeta, res):
+            pm = pseudo_maps.setdefault(i, {})
+            lst = pm.setdefault(hi, [])
+            assert len(lst) == pp
+            lst.append(r)
+        return (codes, valid, hits_of, pseudo_maps, cpr_of)
+
+    def finish_batch(self, prepared):
+        """Phase 5+6 (host): alignment + assembly for a prepared batch."""
+        codes, valid, hits_of, pseudo_maps, _cpr_of = prepared
+        idx = self.idx
+        out = [[] for _ in codes]
+        for i in valid:
+            hits = hits_of[i]
+            if not hits:
+                continue
+            out[i] = idx._phase4_assemble(codes[i], hits, pseudo_map=pseudo_maps.get(i))
+        return out

@@ -437,6 +437,9 @@ def build_chain_fn(band_base: int, band_count: int, max_gap: int,
 
     def fn(ak1, ak2, counts):
         Wb, A = ak1.shape
+        # x64 mode (enabled by parallel/kernels.py) promotes jnp.sum and
+        # py-int where() results to int64; the loop carries are all int32
+        counts = counts.astype(jnp.int32)
         aqb, ake, atb = _unpack_anchors(ak1, ak2)
         aln = ake - aqb
         lane = jnp.arange(A, dtype=jnp.int32)[None, :]
@@ -499,7 +502,7 @@ def build_chain_fn(band_base: int, band_count: int, max_gap: int,
             mj_lane = jnp.min(jnp.where(sc == best[:, None], dlane, BIG), axis=1)
             use = best >= al
             m = jnp.where(use, best, al)
-            mj = jnp.where(use, i - D + mj_lane, i)
+            mj = jnp.where(use, i - D + mj_lane, i).astype(jnp.int32)
             # window needed deeper scan: no break fired and j=i-D not the floor
             deeper = (cut[:, 0] < 0) & (i > D)
             active = i < counts
@@ -548,7 +551,7 @@ def build_chain_fn(band_base: int, band_count: int, max_gap: int,
             out = jnp.where(sel[:, :, None], row[:, None, :], out)
             ovf = good & (cnt >= C_CAP)
             cnt = jnp.where(good & (cnt < C_CAP), cnt + 1, cnt)
-            flg = flg | jnp.where(ovf, F_CHAIN_OVERFLOW, 0)
+            flg = flg | jnp.where(ovf, jnp.int32(F_CHAIN_OVERFLOW), jnp.int32(0))
             return (phase, lo, hi, Mi, wi, nanch, matched, wqb, wtb, wqe, wte,
                     bnext, stack_lo, stack_hi, sp, out, cnt, flg)
 
@@ -558,7 +561,7 @@ def build_chain_fn(band_base: int, band_count: int, max_gap: int,
             stack_hi = jnp.where(sel, hi_v[:, None], stack_hi)
             ovf = do & (sp >= S_CAP)
             sp = jnp.where(do & (sp < S_CAP), sp + 1, sp)
-            flg = flg | jnp.where(ovf, F_STACK_OVERFLOW, 0)
+            flg = flg | jnp.where(ovf, jnp.int32(F_STACK_OVERFLOW), jnp.int32(0))
             return stack_lo, stack_hi, sp, flg
 
         def take1(arr2d, idx):
