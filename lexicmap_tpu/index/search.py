@@ -388,6 +388,8 @@ class IndexSearcher:
         all_rev = []
 
         # device prefix matching: one kernel launch for all masks
+        # (match() returns None when the query overflowed the device hit
+        # cap; the host bisection path below handles it)
         dev_hits = dev_hits_pre
         if (
             dev_hits is None
@@ -1240,9 +1242,24 @@ class IndexSearcher:
 
             eng = DeviceSearchEngine(self)
             self._device_engine = eng
+        # pipeline: host phase 5 (alignment) of batch N runs in a worker
+        # thread while the device prepares batch N+1 (native align calls
+        # release the GIL, so the two genuinely overlap)
+        fin = getattr(self, "_finish_pool", None)
+        if fin is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            fin = ThreadPoolExecutor(max_workers=1)
+            self._finish_pool = fin
         out: list[list[GenomeHit]] = []
+        fut = None
         for o in range(0, len(seqs), 32):
-            out.extend(eng.search_batch(seqs[o : o + 32]))
+            prepared = eng.prepare_batch(seqs[o : o + 32])
+            if fut is not None:
+                out.extend(fut.result())
+            fut = fin.submit(eng.finish_batch, prepared)
+        if fut is not None:
+            out.extend(fut.result())
         return out
 
 

@@ -1,26 +1,51 @@
 """Device-integrated seed matching for the search pipeline.
 
-DeviceSeedMatcher packs the columnar seed index into the [M, E] hi/lo uint32
-layout once (HBM-resident), then answers each query's per-mask >=p-prefix
-range queries with ONE Pallas kernel launch instead of per-chunk host
-bisection.  The kernel returns (e0, n_hits) per mask; the host gathers the
-matched entries/postings from the columnar store — results are identical to
-the host path (verified by tests/test_device_search.py).
+DeviceSeedMatcher packs the columnar seed index into HBM-resident
+[masks, entries] hi-word uint32 tables and answers each query batch's
+per-mask >=p-prefix range queries with one Pallas dispatch per bucket.
+The kernel returns (e0, n_hits) per mask; the host gathers the matched
+entries/postings from the columnar store — results are identical to the
+host path (verified by tests/test_device_search.py).
 
-The suffix (reversed k-mer) search stays on host: after dedup there are only
-a handful of reversed k-mers per query and they map to scattered masks.
+Transport-aware design (the TPU here sits behind a ~40 MB/s, ~25 ms/round
+tunnel; see scripts/tpu_microbench.py):
+  - only the HI word of each entry k-mer is resident: a p <= 16-base
+    prefix range lives entirely in the top 32 bits, and the host computes
+    exact LCPs on the gathered entries anyway — half the HBM, half the h2d.
+  - hits are COMPACTED ON DEVICE: (mask_id, e0<<16|n_hits) pairs are
+    sorted so real hits lead, and only the first H_CAP columns are
+    fetched (~1 MB instead of the dense [B, 20000] tables).  A query with
+    more than H_CAP hit masks (never seen in practice) falls back to host
+    seed matching wholesale, so results are unconditionally exact.
+
+Scalable layout: instead of padding every mask to the global max entry
+count (one repeat-heavy mask would inflate the whole table), masks are
+grouped into entry-count BUCKETS chosen from the count distribution's
+quantiles (p50/p90/p99/max, each rounded up to the 128-lane width).  Each
+bucket is its own [Mb, Eb] table + dispatch, so HBM is ~sum(count) rather
+than M*max(count).  Masks beyond MAX_E (2^14 entries) are matched by host
+bisection — on real data that is a handful of low-complexity repeat masks.
+
+The suffix (reversed k-mer) search stays on host: after dedup there are
+only a handful of reversed k-mers per query and they map to scattered
+masks.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from .pallas_kernels import (
-    PAD_HI,
-    pack_index_for_device,
-    seed_match_pallas,
-    split_kmers_hi_lo,
-)
+from .pallas_kernels import PAD_HI, seed_locate_pallas, split_kmers_hi_lo
+
+MAX_E = 16384  # masks with more entries go to the host bisection path
+VMEM_BUDGET = 8 << 20  # bytes of VMEM a tile's uint32 blocks may use
+H_CAP = 6144  # max hit masks fetched per (query, bucket)
+INV_MASK = np.uint32(0xFFFFFFFF)
+
+
+def _tile_for(E: int, tile_m: int) -> int:
+    t = min(tile_m, max(8, (VMEM_BUDGET // (8 * E)) // 8 * 8))
+    return int(t)
 
 
 class DeviceSeedMatcher:
@@ -31,23 +56,53 @@ class DeviceSeedMatcher:
         self.idx = index_searcher
         self.k = index_searcher.k
         self.m = index_searcher.mask_set.m
-        hi, lo, E = pack_index_for_device(
-            index_searcher.chunks, self.m, self.k
-        )
-        # pad M to a tile multiple
-        self.tile_m = tile_m
-        m_pad = ((self.m + tile_m - 1) // tile_m) * tile_m
-        if m_pad != self.m:
-            pad = np.full((m_pad - self.m, E), PAD_HI, dtype=np.uint32)
-            hi = np.concatenate([hi, pad])
-            lo = np.concatenate([lo, pad])
-        self.m_pad = m_pad
-        self.E = E
-        self.d_hi = jnp.asarray(hi)
-        self.d_lo = jnp.asarray(lo)
         if interpret is None:
             interpret = jax.devices()[0].platform == "cpu"
         self.interpret = interpret
+
+        per_mask: list[np.ndarray] = []
+        for rdr in index_searcher.chunks:
+            kmers = np.asarray(rdr.kmers)
+            off = np.asarray(rdr.mask_offsets)
+            for mi in range(rdr.mask_end - rdr.mask_begin):
+                per_mask.append(kmers[off[mi] : off[mi + 1]])
+        assert len(per_mask) == self.m
+        counts = np.array([a.shape[0] for a in per_mask], dtype=np.int64)
+
+        # adaptive E buckets: quantiles of the entry-count distribution,
+        # rounded up to the 128-lane width
+        qs = np.quantile(counts, [0.5, 0.9, 0.99, 1.0]) if self.m else [128]
+        edges: list[int] = []
+        for q in qs:
+            e = max(((int(q) + 127) // 128) * 128, 128)
+            if e > MAX_E:
+                e = MAX_E
+            if not edges or e > edges[-1]:
+                edges.append(e)
+
+        self.buckets = []  # (E, tile, mask_ids [Mb], d_hi, d_ids, mb_pad)
+        self.hbm_bytes = 0
+        host_ids = np.nonzero(counts > MAX_E)[0]
+        assigned = counts > MAX_E
+        for E in edges:
+            ids = np.nonzero(~assigned & (counts <= E))[0]
+            assigned |= counts <= E
+            if ids.shape[0] == 0:
+                continue
+            tile = _tile_for(E, tile_m)
+            mb_pad = ((ids.shape[0] + tile - 1) // tile) * tile
+            hi = np.full((mb_pad, E), PAD_HI, dtype=np.uint32)
+            for row, mi in enumerate(ids):
+                h, _ = split_kmers_hi_lo(per_mask[mi], self.k)
+                hi[row, : h.shape[0]] = h
+            ids_pad = np.full(mb_pad, INV_MASK, dtype=np.uint32)
+            ids_pad[: ids.shape[0]] = ids.astype(np.uint32)
+            self.buckets.append(
+                (E, tile, ids, jnp.asarray(hi), jnp.asarray(ids_pad), mb_pad)
+            )
+            self.hbm_bytes += mb_pad * E * 4
+        # host-overflow masks keep their sorted entry arrays
+        self.host_tables = {int(mi): per_mask[mi] for mi in host_ids}
 
         # per-mask global entry offsets into each chunk, for posting gather
         self.entry_base = np.zeros(self.m, dtype=np.int64)
@@ -58,59 +113,130 @@ class DeviceSeedMatcher:
                 self.entry_base[mi] = off[mi - rdr.mask_begin]
                 self.chunk_of_mask[mi] = ci
 
+    def _bucket_fn(self, bucket_index: int, min_prefix: int):
+        """Cached jitted locate+compact per (bucket, p) — rebuilding the
+        vmap wrapper per call would re-trace on every batch."""
+        cache = getattr(self, "_fns", None)
+        if cache is None:
+            cache = self._fns = {}
+        key = (bucket_index, min_prefix)
+        fn = cache.get(key)
+        if fn is None:
+            import jax
+            import jax.numpy as jnp
+
+            E, tile, _, _, _, mb_pad = self.buckets[bucket_index]
+            H = min(H_CAP, mb_pad)
+
+            def call(d_hi, d_ids, qh_b, t=tile, p=min_prefix, H=H):
+                nh, e0 = jax.vmap(
+                    lambda q: seed_locate_pallas(
+                        d_hi, q, p=p, tile_m=t, interpret=self.interpret
+                    )
+                )(qh_b)  # [B, mb_pad] i32
+                hit = nh > 0
+                keys = jnp.where(hit, d_ids[None, :], jnp.uint32(0xFFFFFFFF))
+                payload = (
+                    e0.astype(jnp.uint32) << jnp.uint32(16)
+                ) | nh.astype(jnp.uint32)
+                keys, payload = jax.lax.sort(
+                    (keys, payload), dimension=1, num_keys=1, is_stable=False
+                )
+                return keys[:, :H], payload[:, :H], jnp.sum(
+                    hit.astype(jnp.int32), axis=1
+                )
+
+            fn = jax.jit(call)
+            cache[key] = fn
+        return fn
+
+    def describe(self) -> str:
+        parts = [
+            f"E={E} x {ids.shape[0]} masks (tile {tile})"
+            for E, tile, ids, _, _, _ in self.buckets
+        ]
+        if self.host_tables:
+            parts.append(f"host: {len(self.host_tables)} masks > {MAX_E}")
+        return (
+            f"device seed table: {self.hbm_bytes / 1e6:.1f} MB HBM in "
+            f"{len(self.buckets)} buckets [" + ", ".join(parts) + "]"
+        )
+
     def match_batch(self, query_kmers_batch: np.ndarray, min_prefix: int):
-        """Batched variant: query_kmers_batch [B, M] -> per-query results of
-        match() from ONE vmapped kernel launch (dispatch amortized across the
-        batch — important through high-latency device transports)."""
-        import jax
+        """query_kmers_batch [B, m] -> per-query (hit_masks, e0, n_hits)
+        triples (or None where the query overflowed H_CAP and must use host
+        seed matching), from one dispatch per bucket."""
         import jax.numpy as jnp
 
         B = query_kmers_batch.shape[0]
-        qh = np.full((B, self.m_pad), PAD_HI, dtype=np.uint32)
-        ql = np.full((B, self.m_pad), PAD_HI, dtype=np.uint32)
-        for b in range(B):
-            kk = query_kmers_batch[b]
-            sel = kk != 0
-            h, l = split_kmers_hi_lo(kk[sel], self.k)
-            idxs = np.nonzero(sel)[0]
-            qh[b, idxs] = h
-            ql[b, idxs] = l
+        qh = np.full((B, self.m), PAD_HI, dtype=np.uint32)
+        sel = query_kmers_batch != 0
+        if sel.any():
+            h, _ = split_kmers_hi_lo(query_kmers_batch[sel], self.k)
+            qh[sel] = h
 
-        from .pallas_kernels import seed_match_pallas
+        pending = []
+        for bi, (E, tile, ids, d_hi, d_ids, mb_pad) in enumerate(self.buckets):
+            qh_b = np.full((B, mb_pad), PAD_HI, dtype=np.uint32)
+            qh_b[:, : ids.shape[0]] = qh[:, ids]
+            fn = self._bucket_fn(bi, min_prefix)
+            pending.append(fn(d_hi, d_ids, jnp.asarray(qh_b)))
 
-        fn = jax.vmap(
-            lambda a, b2: seed_match_pallas(
-                self.d_hi, self.d_lo, a, b2,
-                p=min_prefix, k=self.k, tile_m=self.tile_m,
-                interpret=self.interpret,
-            )
-        )
-        nh, e0, _ = fn(jnp.asarray(qh), jnp.asarray(ql))
-        nh = np.asarray(nh)[:, : self.m]
-        e0 = np.asarray(e0)[:, : self.m]
+        import jax
+
+        fetched = jax.device_get(pending)
+
+        per_query: list[list] = [[] for _ in range(B)]
+        overflow = np.zeros(B, dtype=bool)
+        for (keys, payload, counts) in fetched:
+            H = keys.shape[1]
+            for b in range(B):
+                if counts[b] > H:
+                    overflow[b] = True
+                    continue
+                n = int(counts[b])
+                if n:
+                    per_query[b].append((keys[b, :n], payload[b, :n]))
+
+        # host bisection for the few over-cap masks
+        host_extra: list[list] = [[] for _ in range(B)]
+        if self.host_tables:
+            p = min_prefix
+            suf = np.uint64((1 << (2 * (self.k - p))) - 1)
+            for mi, table in self.host_tables.items():
+                col = query_kmers_batch[:, mi]
+                for b in np.nonzero(col != 0)[0]:
+                    q = col[b]
+                    lo_i = int(np.searchsorted(table, q & ~suf, side="left"))
+                    hi_i = int(np.searchsorted(table, q | suf, side="right"))
+                    if hi_i > lo_i:
+                        host_extra[b].append((mi, lo_i, hi_i - lo_i))
+
         out = []
         for b in range(B):
-            hit = np.nonzero(nh[b] > 0)[0]
-            out.append((hit, e0[b][hit], nh[b][hit]))
+            if overflow[b]:
+                out.append(None)
+                continue
+            if per_query[b]:
+                keys = np.concatenate([k for k, _ in per_query[b]])
+                pay = np.concatenate([p for _, p in per_query[b]])
+                hm = keys.astype(np.int64)
+                e0 = (pay >> np.uint32(16)).astype(np.int64)
+                nh = (pay & np.uint32(0xFFFF)).astype(np.int64)
+            else:
+                hm = np.empty(0, dtype=np.int64)
+                e0 = np.empty(0, dtype=np.int64)
+                nh = np.empty(0, dtype=np.int64)
+            if host_extra[b]:
+                hm = np.concatenate([hm, [m for m, _, _ in host_extra[b]]])
+                e0 = np.concatenate([e0, [o for _, o, _ in host_extra[b]]])
+                nh = np.concatenate([nh, [n for _, _, n in host_extra[b]]])
+            if hm.shape[0] > 1:
+                order = np.argsort(hm, kind="stable")
+                hm, e0, nh = hm[order], e0[order], nh[order]
+            out.append((hm, e0, nh))
         return out
 
     def match(self, query_kmers: np.ndarray, min_prefix: int):
-        """Returns (mask_idx, entry_idx_within_mask_range) pairs for all
-        matched entries, like the host searchsorted path."""
-        import jax.numpy as jnp
-
-        qh = np.full(self.m_pad, PAD_HI, dtype=np.uint32)
-        ql = np.full(self.m_pad, PAD_HI, dtype=np.uint32)
-        sel = query_kmers != 0
-        h, l = split_kmers_hi_lo(query_kmers[sel], self.k)
-        idxs = np.nonzero(sel)[0]
-        qh[idxs] = h
-        ql[idxs] = l
-        nh, e0, _lcp = seed_match_pallas(
-            self.d_hi, self.d_lo, jnp.asarray(qh), jnp.asarray(ql),
-            p=min_prefix, k=self.k, tile_m=self.tile_m, interpret=self.interpret,
-        )
-        nh = np.asarray(nh)[: self.m]
-        e0 = np.asarray(e0)[: self.m]
-        hit_masks = np.nonzero(nh > 0)[0]
-        return hit_masks, e0[hit_masks], nh[hit_masks]
+        """Single-query variant: (mask_idx, e0, n_hits) triples or None."""
+        return self.match_batch(query_kmers[None, :], min_prefix)[0]

@@ -47,6 +47,57 @@ def split_kmers_hi_lo(kmers: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray
     return hi, lo
 
 
+def _seed_locate_kernel(qhi_ref, shi_ref, nh_ref, e0_ref, *, p):
+    """Hi-word-only >=p-prefix range locate (p <= 16 bases live entirely in
+    the hi word; rows are sorted by (hi, lo) so equal-hi entries cluster).
+    LCP refinement happens host-side on the gathered entries, so neither the
+    lo words nor an LCP output are needed — this halves HBM and h2d bytes."""
+    qhi = qhi_ref[:]  # [TM, 1]
+    shi = shi_ref[:]  # [TM, E]
+
+    suf = jnp.uint32((1 << (32 - 2 * p)) - 1)
+    lb = qhi & ~suf
+    rb = qhi | suf
+
+    has_query = qhi != PAD_HI
+    in_range = (shi >= lb) & (shi <= rb) & has_query
+    nh_ref[:] = jnp.sum(in_range.astype(jnp.int32), axis=1, keepdims=True)
+    e0_ref[:] = jnp.sum(((shi < lb) & has_query).astype(jnp.int32), axis=1, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "tile_m", "interpret"))
+def seed_locate_pallas(
+    seed_hi: jnp.ndarray,  # [M, E] uint32, rows sorted
+    query_hi: jnp.ndarray,  # [M] uint32 (PAD_HI = no captured k-mer)
+    p: int = 15,
+    tile_m: int = 256,
+    interpret: bool = False,
+):
+    """Per-mask >=p-prefix entry ranges; returns (n_hits [M], e0 [M])."""
+    M, E = seed_hi.shape
+    assert M % tile_m == 0, (M, tile_m)
+    grid = (M // tile_m,)
+    kernel = functools.partial(_seed_locate_kernel, p=p)
+    nh, e0 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_m, 1), lambda i: (i, 0)),
+            pl.BlockSpec((tile_m, E), lambda i: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_m, 1), lambda i: (i, 0)),
+            pl.BlockSpec((tile_m, 1), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M, 1), jnp.int32),
+            jax.ShapeDtypeStruct((M, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(query_hi[:, None], seed_hi)
+    return nh[:, 0], e0[:, 0]
+
+
 def _seed_match_kernel(qhi_ref, qlo_ref, shi_ref, slo_ref, nh_ref, e0_ref, lcp_ref, *, p, k):
     qhi = qhi_ref[:]  # [TM, 1]
     qlo = qlo_ref[:]
