@@ -112,3 +112,24 @@ def test_prophage_query_rows_exact(searcher):
     assert ours_main == want
     # golden has no rows for the divergent genome in this query
     assert not any(KNOWN_DIVERGENT_GENOME in r for r in golden)
+
+
+def test_concurrent_search_deterministic(tmp_path):
+    """-J 4 must produce byte-identical TSV to -J 1 (the reference keeps
+    output order with -J via an ordered output channel, search.go:537-604;
+    we use an order-preserving pool.imap — this pins that contract)."""
+    import subprocess
+    import sys
+
+    query = os.path.join(DEMO_DIR, "q.prophage.fasta")
+    outs = []
+    for j in (1, 4):
+        o = tmp_path / f"j{j}.tsv"
+        subprocess.run(
+            [sys.executable, "-m", "lexicmap_tpu.cli", "--quiet", "search",
+             "-d", DEMO_DB, "-J", str(j), query, "-o", str(o)],
+            check=True,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+        outs.append(o.read_bytes())
+    assert outs[0] == outs[1] and outs[0]
