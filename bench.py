@@ -8,6 +8,11 @@ Baseline: the reference LexicMap demo search speed, 1197.8 queries/min for
 the single 16S gene query on a 16-thread PC (ref: docs/content/tutorials/
 search.md:240-251; BASELINE.md).  The benchmark also verifies output parity
 with the committed golden TSV and reports it in the JSON line.
+
+Engine: the TPU device engine (seed matching + pseudo-alignment on device,
+lexicmap_tpu/parallel/engine.py) runs in the parent process while host
+fork workers drain the rest of the query stream — the machine number is
+TPU + all host cores.  If no device is usable, falls back to host-only.
 """
 
 import json
@@ -46,6 +51,10 @@ def ensure_index():
 def main():
     ensure_index()
 
+    import __graft_entry__ as g
+
+    g._enable_compile_cache()
+
     from lexicmap_tpu.cli import format_hit_rows
     from lexicmap_tpu.index.search import IndexSearcher, SearchOptions
     from lexicmap_tpu.utils.fasta import read_fastx
@@ -59,17 +68,48 @@ def main():
     golden = [l.rstrip("\n") for l in open(GOLDEN)][1:]
     parity = rows == golden
 
-    # throughput over a worker pool (the reference's number is likewise a
-    # full-machine figure: 1197.8 q/min on 16 threads)
+    # optional TPU device engine in the parent process (host fork workers
+    # take the remaining cores); compile-cached kernels make warm-up cheap
+    idx_dev = None
+    try:
+        import jax
+
+        if jax.devices()[0].platform != "cpu":
+            t0 = time.time()
+            idx_dev = IndexSearcher(DEMO_DB, SearchOptions(engine="device"))
+            idx_dev.search_many([rec.seq] * 32)  # warm / compile
+            log(f"device engine warm in {time.time() - t0:.1f}s")
+    except Exception as e:  # no TPU / tunnel down -> host-only
+        log(f"device engine unavailable ({type(e).__name__}: {e}); host-only")
+        idx_dev = None
+
     import multiprocessing as mp
 
     workers = os.cpu_count() or 1
-    # steady-state throughput: enough queries to amortize pool startup (the
-    # reference's 1197.8 q/min baseline is likewise a long-run figure)
-    n_queries = max(32, 8 * workers)
+    if idx_dev is not None and workers > 1:
+        workers -= 1  # the device engine's host phases keep one core busy
     global _BENCH_IDX
     _BENCH_IDX = idx
     ctx = mp.get_context("fork")
+
+    # probe per-engine rates to split the stream proportionally
+    n_probe = 32
+    with ctx.Pool(workers) as pool:
+        t0 = time.time()
+        list(pool.imap_unordered(_bench_one, [rec.seq] * n_probe, chunksize=4))
+        host_rate = n_probe / (time.time() - t0)
+    dev_rate = 0.0
+    if idx_dev is not None:
+        t0 = time.time()
+        idx_dev.search_many([rec.seq] * n_probe)
+        dev_rate = n_probe / (time.time() - t0)
+    log(f"probe rates: host pool {host_rate * 60:.0f} q/min, device {dev_rate * 60:.0f} q/min")
+
+    n_queries = max(64, 16 * workers)
+    dev_share = dev_rate / (dev_rate + host_rate) if dev_rate else 0.0
+    n_dev = int(round(n_queries * dev_share / 32) * 32)
+    n_dev = min(n_dev, n_queries)
+
     # best of 2 rounds: the host VM's speed drifts; the faster round is the
     # closer estimate of the engine's throughput (standard latency-bench
     # practice; the first round also warms the page cache for the second)
@@ -77,7 +117,12 @@ def main():
     for _ in range(2):
         t0 = time.time()
         with ctx.Pool(workers) as pool:
-            list(pool.imap_unordered(_bench_one, [rec.seq] * n_queries, chunksize=4))
+            res = pool.map_async(
+                _bench_one, [rec.seq] * (n_queries - n_dev), chunksize=4
+            )
+            for o in range(0, n_dev, 32):
+                idx_dev.search_many([rec.seq] * min(32, n_dev - o))
+            res.get()
         elapsed = min(elapsed, (time.time() - t0) / n_queries)
     qpm = 60.0 / elapsed
 
@@ -90,6 +135,8 @@ def main():
                 "vs_baseline": round(qpm / BASELINE_QPM, 4),
                 "golden_tsv_parity": parity,
                 "seconds_per_query": round(elapsed, 3),
+                "engine": ("tpu_device+host" if idx_dev is not None else "host"),
+                "device_query_share": round(n_dev / n_queries, 3) if idx_dev else 0.0,
                 "workers": workers,
             }
         )

@@ -221,6 +221,10 @@ class IndexSearcher:
             from ..parallel.device_search import DeviceSeedMatcher
 
             self.device_matcher = DeviceSeedMatcher(self)
+            if self.opt.debug:
+                import sys as _sys
+
+                print(self.device_matcher.describe(), file=_sys.stderr)
 
         # TaxId filtering (ref: lib-index-search.go:316-416)
         self.filter_by_taxid = bool(self.opt.taxids or self.opt.negative_taxids)
