@@ -64,6 +64,23 @@ def cmd_index(args) -> int:
         verbose=not args.quiet,
         threads=args.threads,
     )
+    if not args.quiet:
+        # parameter echo (ref: index.go:454-495 verbose run summary)
+        print(
+            "build parameters:\n"
+            f"  input: {len(files)} file(s)\n"
+            f"  k-mer size: {opt.k}, masks: {opt.n_masks}, seed: {opt.rand_seed}"
+            + (f", mask file: {opt.mask_file}" if opt.mask_file else "")
+            + "\n"
+            f"  batch size: {opt.batch_size}, seed chunks: {opt.chunks or 'auto'}, "
+            f"partitions: {opt.partitions}\n"
+            f"  max genome size: {opt.max_genome_size}, contig interval: {opt.contig_interval}\n"
+            f"  seed desert: max {opt.seed_max_desert}, in-desert dist {opt.seed_in_desert_dist}"
+            + (" (desert filling disabled)" if opt.disable_desert_filling else "")
+            + "\n"
+            f"  output: {args.out_dir}",
+            file=sys.stderr,
+        )
     t0 = time.time()
     info = build_index(args.out_dir, files, opt)
     if not args.quiet:
@@ -174,6 +191,22 @@ def cmd_search(args) -> int:
         negative_taxids=negative_taxids,
         keep_genomes_without_taxid=args.keep_genomes_without_taxid,
     )
+    if not args.quiet:
+        # parameter echo (ref: search.go verbose run summary)
+        print(
+            "search parameters:\n"
+            f"  index: {args.index}\n"
+            f"  seed min prefix: {opt.min_prefix} (single-query: {opt.min_single_prefix}), "
+            f"max gap: {opt.max_gap}, max dist: {opt.max_distance}\n"
+            f"  align: ext-len {opt.extend_length}, band {opt.align_band}, "
+            f"min len {opt.min_align_len}, min pident {opt.min_identity}, "
+            f"max evalue {opt.max_evalue}\n"
+            f"  filters: qcovGnm >= {opt.min_qcov_genome}, qcovHSP >= {opt.min_qcov_hsp}, "
+            f"top-n genomes {opt.top_n or 'all'}, top-n chains {opt.top_n_chains or 'all'}\n"
+            f"  engine: {opt.engine}"
+            + (", in-memory seeds" if opt.in_memory else ""),
+            file=sys.stderr,
+        )
     t0 = time.time()
     try:
         idx = IndexSearcher(args.index, opt)
