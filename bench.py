@@ -100,9 +100,13 @@ def main():
         host_rate = n_probe / (time.time() - t0)
     dev_rate = 0.0
     if idx_dev is not None:
-        t0 = time.time()
-        idx_dev.search_many([rec.seq] * n_probe)
-        dev_rate = n_probe / (time.time() - t0)
+        try:
+            t0 = time.time()
+            idx_dev.search_many([rec.seq] * n_probe)
+            dev_rate = n_probe / (time.time() - t0)
+        except Exception as e:
+            log(f"device probe failed ({type(e).__name__}: {e}); host-only")
+            idx_dev = None
     log(f"probe rates: host pool {host_rate * 60:.0f} q/min, device {dev_rate * 60:.0f} q/min")
 
     n_queries = max(64, 16 * workers)
@@ -114,16 +118,29 @@ def main():
     # closer estimate of the engine's throughput (standard latency-bench
     # practice; the first round also warms the page cache for the second)
     elapsed = float("inf")
-    for _ in range(2):
+    rounds = 0
+    while rounds < 2:
         t0 = time.time()
         with ctx.Pool(workers) as pool:
             res = pool.map_async(
                 _bench_one, [rec.seq] * (n_queries - n_dev), chunksize=4
             )
-            for o in range(0, n_dev, 32):
-                idx_dev.search_many([rec.seq] * min(32, n_dev - o))
+            try:
+                for o in range(0, n_dev, 32):
+                    idx_dev.search_many([rec.seq] * min(32, n_dev - o))
+            except Exception as e:
+                # mid-run device failure: finish the host half, then redo
+                # the measurement host-only so ONE json line always prints
+                log(f"device failed mid-run ({type(e).__name__}: {e}); host-only")
+                res.get()
+                idx_dev = None
+                n_dev = 0
+                elapsed = float("inf")
+                rounds = 0
+                continue
             res.get()
         elapsed = min(elapsed, (time.time() - t0) / n_queries)
+        rounds += 1
     qpm = 60.0 / elapsed
 
     print(
