@@ -38,8 +38,9 @@ TPU-first design notes:
 Per-window host fallbacks (flag bits) keep parity unconditional: window
 longer than L_PAD, query longer than QLEN_CAP, >A_CAP anchors, dedup/DP
 window overflow, >C_CAP chains, region-stack overflow, or a query k-mer
-22-bit prefix shared by two entries (J>1; rare for short queries, see
-scripts/phase4_stats.py — the demo 16S query has 3024 distinct prefixes).
+22-bit prefix shared by THREE or more entries (the segmented fill carries
+two query candidates per prefix run, so J<=2 — the common birthday-pair
+case for ~kb-scale queries — stays on device; see scripts/phase4_stats.py).
 """
 
 from __future__ import annotations
@@ -108,7 +109,9 @@ def build_query_table(qk: np.ndarray, qv: np.ndarray):
     kl[:n] = (qk & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     v[:n] = qv
     pref = (qk >> np.uint64(2 * K - 22)).astype(np.uint32)
-    multi = bool(n > 1 and (pref[1:] == pref[:-1]).any())
+    # the device fill pairs each target lane with up to TWO query entries
+    # per 22-bit prefix (J<=2); only >=3-way prefix collisions go to host
+    multi = bool(n > 2 and (pref[2:] == pref[:-2]).any())
     return kh, kl, v, n, multi
 
 
@@ -245,15 +248,26 @@ def build_probe_fn():
             (key, kh, kl, aux), dimension=1, num_keys=1, is_stable=True
         )
 
-        # segmented forward fill of the (single) query entry per prefix run
+        # segmented forward fill of up to TWO query entries per prefix run:
+        # query lanes sort before target lanes within a prefix, so the run's
+        # LAST query lane is the nearest preceding query entry of every
+        # target lane (candidate 1); that lane's immediate predecessor, if a
+        # same-prefix query lane, is candidate 2 and rides along in the fill.
+        # Runs with >=3 query entries flag the window for host fallback.
         prefix = key >> jnp.uint32(1)
         is_q = ((key & jnp.uint32(1)) == 0) & (key != INVALID_KEY)
         have = is_q
         pkh, pkl, paux = kh, kl, aux
+        same1 = prefix == _shift_right(prefix, 1, jnp.uint32(0x7FFFFF))
+        q1 = _shift_right(is_q, 1, False)
+        has2 = is_q & q1 & same1
+        pkh2 = jnp.where(has2, _shift_right(kh, 1, INV32), INV32)
+        pkl2 = jnp.where(has2, _shift_right(kl, 1, INV32), INV32)
+        paux2 = jnp.where(has2, _shift_right(aux, 1, jnp.uint32(0)), jnp.uint32(0))
         multi = (
-            is_q
-            & _shift_right(is_q, 1, False)
-            & (prefix == _shift_right(prefix, 1, jnp.uint32(0x7FFFFF)))
+            has2
+            & _shift_right(is_q, 2, False)
+            & (prefix == _shift_right(prefix, 2, jnp.uint32(0x7FFFFF)))
         )
         d = 1
         while d < N_REC:
@@ -264,50 +278,62 @@ def build_probe_fn():
             pkh = jnp.where(take, _shift_right(pkh, d, INV32), pkh)
             pkl = jnp.where(take, _shift_right(pkl, d, INV32), pkl)
             paux = jnp.where(take, _shift_right(paux, d, jnp.uint32(0)), paux)
+            pkh2 = jnp.where(take, _shift_right(pkh2, d, INV32), pkh2)
+            pkl2 = jnp.where(take, _shift_right(pkl2, d, INV32), pkl2)
+            paux2 = jnp.where(take, _shift_right(paux2, d, jnp.uint32(0)), paux2)
             multi = multi | (same & _shift_right(multi, d, False))
             have = have | sh
             d *= 2
 
-        # anchors at target lanes (ref: compare_probe_codes emission rules)
+        # anchors at target lanes (ref: compare_probe_codes emission rules),
+        # one anchor set per propagated query candidate
         is_t = ((key & jnp.uint32(1)) == 1) & (key != INVALID_KEY)
-        paired = is_t & have
         tpos = (aux & jnp.uint32(0x1FFF)).astype(jnp.int32)
         tstrand = ((aux >> jnp.uint32(13)) & jnp.uint32(1)).astype(jnp.int32)
-        qstrand = (paux & jnp.uint32(1)).astype(jnp.int32)
-        qpos = (paux >> jnp.uint32(1)).astype(jnp.int32)
-        pair_ok = paired & (tstrand == qstrand)
-
-        x_hi = kh ^ pkh
-        x_lo = kl ^ pkl
-        clz64 = jnp.where(x_hi != 0, _clz32(x_hi), 32 + _clz32(x_lo))
-        lcp = jnp.where((x_hi == 0) & (x_lo == 0), K, clz64 // 2 - 1)
-
         bgn = begin[:, None]
         endn = end[:, None]
-        p_fwd = qpos
-        p_rc = qpos + K - lcp
-        ok = pair_ok & jnp.where(
-            tstrand == 0,
-            (p_fwd >= bgn) & (p_fwd + lcp <= endn),
-            ~((p_rc + lcp < bgn) | (p_rc > endn)),
-        )
 
-        aq = jnp.where(tstrand == 0, p_fwd, p_rc)
-        at = jnp.where(tstrand == 0, tpos, tpos + K - lcp)
-        ke = aq + lcp  # exclusive query end
+        def emit_anchors(ckh, ckl, caux):
+            paired = is_t & have & (ckh != INV32)
+            qstrand = (caux & jnp.uint32(1)).astype(jnp.int32)
+            qpos = (caux >> jnp.uint32(1)).astype(jnp.int32)
+            pair_ok = paired & (tstrand == qstrand)
 
-        k1 = jnp.where(
-            ok,
-            (aq.astype(jnp.uint32) << jnp.uint32(13))
-            | (jnp.uint32(8191) - ke.astype(jnp.uint32)),
-            INV32,
-        )
-        k2 = jnp.where(
-            ok,
-            (at.astype(jnp.uint32) << jnp.uint32(1)) | tstrand.astype(jnp.uint32),
-            INV32,
-        )
-        multi_hit = jnp.any(ok & multi, axis=1)
+            x_hi = kh ^ ckh
+            x_lo = kl ^ ckl
+            clz64 = jnp.where(x_hi != 0, _clz32(x_hi), 32 + _clz32(x_lo))
+            lcp = jnp.where((x_hi == 0) & (x_lo == 0), K, clz64 // 2 - 1)
+
+            p_fwd = qpos
+            p_rc = qpos + K - lcp
+            ok = pair_ok & jnp.where(
+                tstrand == 0,
+                (p_fwd >= bgn) & (p_fwd + lcp <= endn),
+                ~((p_rc + lcp < bgn) | (p_rc > endn)),
+            )
+
+            aq = jnp.where(tstrand == 0, p_fwd, p_rc)
+            at = jnp.where(tstrand == 0, tpos, tpos + K - lcp)
+            ke = aq + lcp  # exclusive query end
+
+            c1 = jnp.where(
+                ok,
+                (aq.astype(jnp.uint32) << jnp.uint32(13))
+                | (jnp.uint32(8191) - ke.astype(jnp.uint32)),
+                INV32,
+            )
+            c2 = jnp.where(
+                ok,
+                (at.astype(jnp.uint32) << jnp.uint32(1)) | tstrand.astype(jnp.uint32),
+                INV32,
+            )
+            return ok, c1, c2
+
+        ok_a, k1_a, k2_a = emit_anchors(pkh, pkl, paux)
+        ok_b, k1_b, k2_b = emit_anchors(pkh2, pkl2, paux2)
+        k1 = jnp.concatenate([k1_a, k1_b], axis=1)
+        k2 = jnp.concatenate([k2_a, k2_b], axis=1)
+        multi_hit = jnp.any((ok_a | ok_b) & multi, axis=1)
 
         n_total = jnp.sum((k1 != INV32).astype(jnp.int32), axis=1)
         ak1, ak2 = lax.sort((k1, k2), dimension=1, num_keys=2, is_stable=False)

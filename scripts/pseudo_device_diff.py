@@ -97,22 +97,29 @@ def main():
     from lexicmap_tpu.utils.kmers import seq_to_codes
 
     idx = IndexSearcher(DB, SearchOptions())
-    rec = next(read_fastx(QUERY))
-    qcodes = seq_to_codes(rec.seq.upper())
-    cpr = SeqComparator(idx.opt.seqcompare_options())
-    cpr.index(qcodes)
+    queries = []
+    windows = []
+    wins = []
+    cprs = []
+    copt = None
+    for rec in read_fastx(QUERY):
+        qcodes = seq_to_codes(rec.seq.upper())
+        cpr = SeqComparator(idx.opt.seqcompare_options())
+        cpr.index(qcodes)
+        copt = cpr.opt.chaining
+        qi = len(queries)
+        w = collect_windows(idx, qcodes)
+        queries.append((cpr.qk, cpr.qv))
+        cprs.append(cpr)
+        windows.extend((qi, t, b, e) for (t, b, e) in w)
+        wins.extend((cpr, t, b, e) for (t, b, e) in w)
+    print(f"queries: {len(queries)}, windows: {len(wins)}")
 
-    wins = collect_windows(idx, qcodes)
-    print(f"windows: {len(wins)}")
-
-    copt = cpr.opt.chaining
     dev = DevicePseudoAligner(
         band_base=copt.band_base, band_count=copt.band_count,
         max_gap=int(copt.max_gap), min_score=int(copt.min_score),
         min_align_len=copt.min_align_len,
     )
-    queries = [(cpr.qk, cpr.qv)]
-    windows = [(0, t, b, e) for (t, b, e) in wins]
     import time
 
     t0 = time.time()
@@ -120,7 +127,7 @@ def main():
     print(f"device batch: {time.time() - t0:.2f}s  stats={dev.stats}")
 
     n_host = n_match = n_mismatch = 0
-    for i, ((tcodes, b, e), r) in enumerate(zip(wins, res)):
+    for i, ((cpr, tcodes, b, e), r) in enumerate(zip(wins, res)):
         kind, rows = r
         if kind == "host":
             n_host += 1
