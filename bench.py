@@ -109,38 +109,66 @@ def main():
             idx_dev = None
     log(f"probe rates: host pool {host_rate * 60:.0f} q/min, device {dev_rate * 60:.0f} q/min")
 
-    n_queries = max(64, 16 * workers)
-    dev_share = dev_rate / (dev_rate + host_rate) if dev_rate else 0.0
-    n_dev = int(round(n_queries * dev_share / 32) * 32)
-    n_dev = min(n_dev, n_queries)
+    n_queries = max(128, 16 * workers)
 
-    # best of 2 rounds: the host VM's speed drifts; the faster round is the
-    # closer estimate of the engine's throughput (standard latency-bench
-    # practice; the first round also warms the page cache for the second)
+    # work-stealing split: the device engine (parent) steals 64-query slices
+    # (64 = two 32-query engine batches, so the engine's internal host/device
+    # pipelining overlaps) while host workers drain 8-query chunks from the
+    # same budget — the split adapts to host-VM speed drift instead of
+    # trusting the probe.  best of N rounds over one long-lived pool; the
+    # first round also warms the page cache.
+    n_dev_total = 0
+    pool = ctx.Pool(workers)
+
+    def one_round():
+        nonlocal n_dev_total
+        t0 = time.time()
+        remaining = n_queries
+        outstanding = []
+
+        def submit_host(c):
+            nonlocal remaining
+            c = min(c, remaining)
+            if c > 0:
+                outstanding.append(
+                    pool.map_async(_bench_one, [rec.seq] * c, chunksize=c)
+                )
+                remaining -= c
+
+        submit_host(8)
+        submit_host(8)
+        while remaining >= 32 and idx_dev is not None:
+            b = 64 if remaining >= 64 + 16 else 32
+            remaining -= b
+            idx_dev.search_many([rec.seq] * b)
+            n_dev_total += b
+            outstanding[:] = [o for o in outstanding if not o.ready()]
+            while sum(not o.ready() for o in outstanding) < 2 and remaining > 0:
+                submit_host(8)
+        while remaining > 0:
+            submit_host(8)
+        for o in outstanding:
+            o.get()
+        return (time.time() - t0) / n_queries
+
     elapsed = float("inf")
     rounds = 0
-    while rounds < 2:
-        t0 = time.time()
-        with ctx.Pool(workers) as pool:
-            res = pool.map_async(
-                _bench_one, [rec.seq] * (n_queries - n_dev), chunksize=4
-            )
-            try:
-                for o in range(0, n_dev, 32):
-                    idx_dev.search_many([rec.seq] * min(32, n_dev - o))
-            except Exception as e:
-                # mid-run device failure: finish the host half, then redo
-                # the measurement host-only so ONE json line always prints
-                log(f"device failed mid-run ({type(e).__name__}: {e}); host-only")
-                res.get()
-                idx_dev = None
-                n_dev = 0
-                elapsed = float("inf")
-                rounds = 0
-                continue
-            res.get()
-        elapsed = min(elapsed, (time.time() - t0) / n_queries)
+    while rounds < 3:
+        try:
+            elapsed = min(elapsed, one_round())
+        except Exception as e:
+            if idx_dev is None:
+                raise
+            # mid-run device failure: redo host-only so ONE json line prints
+            log(f"device failed mid-run ({type(e).__name__}: {e}); host-only")
+            idx_dev = None
+            elapsed = float("inf")
+            rounds = 0
+            n_dev_total = 0
+            continue
         rounds += 1
+    pool.close()
+    pool.join()
     qpm = 60.0 / elapsed
 
     print(
@@ -153,7 +181,9 @@ def main():
                 "golden_tsv_parity": parity,
                 "seconds_per_query": round(elapsed, 3),
                 "engine": ("tpu_device+host" if idx_dev is not None else "host"),
-                "device_query_share": round(n_dev / n_queries, 3) if idx_dev else 0.0,
+                "device_query_share": (
+                    round(n_dev_total / (rounds * n_queries), 3) if idx_dev else 0.0
+                ),
                 "workers": workers,
             }
         )
