@@ -142,7 +142,13 @@ def main():
             remaining -= b
             idx_dev.search_many([rec.seq] * b)
             n_dev_total += b
-            outstanding[:] = [o for o in outstanding if not o.ready()]
+            still = []
+            for o in outstanding:
+                if o.ready():
+                    o.get()  # re-raise worker exceptions instead of dropping
+                else:
+                    still.append(o)
+            outstanding[:] = still
             while sum(not o.ready() for o in outstanding) < 2 and remaining > 0:
                 submit_host(8)
         while remaining > 0:

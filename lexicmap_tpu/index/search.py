@@ -391,9 +391,11 @@ class IndexSearcher:
         all_qloc_entry = []  # per-hit: index of the orig mask (for query locs)
         all_rev = []
 
-        # device prefix matching: one kernel launch for all masks
-        # (match() returns None when the query overflowed the device hit
-        # cap; the host bisection path below handles it)
+        # device prefix matching: one kernel launch for all masks.
+        # dev_hits_pre=None means "not matched yet" (issue a device match
+        # here); False means "the device already declined" (H_CAP overflow
+        # in a batched match) — go straight to host bisection instead of
+        # re-issuing a dispatch that would overflow again.
         dev_hits = dev_hits_pre
         if (
             dev_hits is None
@@ -401,6 +403,8 @@ class IndexSearcher:
             and self.opt.min_prefix <= 16
         ):
             dev_hits = self.device_matcher.match(kmers, self.opt.min_prefix)
+        if dev_hits is False:
+            dev_hits = None
 
         for rdr in self.chunks:
             # ---- prefix search ----

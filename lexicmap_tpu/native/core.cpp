@@ -18,6 +18,7 @@
 #include <set>
 #include <ctime>
 #include <algorithm>
+#include <atomic>
 
 extern "C" {
 
@@ -327,12 +328,15 @@ int64_t wfa_align_stats(const uint8_t* q, int64_t n, const uint8_t* t, int64_t m
 // ---------------------------------------------------------------------------
 // Chainer2 forward pass (ref: lib-chaining2.go:222-307; ops/chaining2.py)
 
-// scan-length statistics (diagnostic; fetched/reset by get_chain2_scan_stats)
-static int64_t g_c2_scan_total = 0, g_c2_scan_max = 0, g_c2_scan_n = 0;
+// scan-length statistics (diagnostic; fetched/reset by get_chain2_scan_stats).
+// chain2_forward runs concurrently from multiple threads, so the counters
+// are atomics (relaxed: they are diagnostics, not synchronization).
+static std::atomic<int64_t> g_c2_scan_total{0}, g_c2_scan_max{0}, g_c2_scan_n{0};
 extern "C" void get_chain2_scan_stats(int64_t* out);
 void get_chain2_scan_stats(int64_t* out) {
-    out[0] = g_c2_scan_total; out[1] = g_c2_scan_max; out[2] = g_c2_scan_n;
-    g_c2_scan_total = g_c2_scan_max = g_c2_scan_n = 0;
+    out[0] = g_c2_scan_total.exchange(0, std::memory_order_relaxed);
+    out[1] = g_c2_scan_max.exchange(0, std::memory_order_relaxed);
+    out[2] = g_c2_scan_n.exchange(0, std::memory_order_relaxed);
 }
 
 void chain2_forward(const int64_t* qb, const int64_t* tb, const int64_t* ln,
@@ -388,9 +392,12 @@ void chain2_forward(const int64_t* qb, const int64_t* tb, const int64_t* ln,
         max_scores[i] = (double)m;
         prev_idx[i] = mj;
         int64_t scanned = i - 1 - j;  // entries examined before the break
-        g_c2_scan_total += scanned;
-        if (scanned > g_c2_scan_max) g_c2_scan_max = scanned;
-        ++g_c2_scan_n;
+        g_c2_scan_total.fetch_add(scanned, std::memory_order_relaxed);
+        int64_t prev_max = g_c2_scan_max.load(std::memory_order_relaxed);
+        while (scanned > prev_max &&
+               !g_c2_scan_max.compare_exchange_weak(prev_max, scanned,
+                                                    std::memory_order_relaxed)) {}
+        g_c2_scan_n.fetch_add(1, std::memory_order_relaxed);
     }
 }
 

@@ -80,7 +80,7 @@ class DeviceSeedMatcher:
             if not edges or e > edges[-1]:
                 edges.append(e)
 
-        self.buckets = []  # (E, tile, mask_ids [Mb], d_hi, d_ids, mb_pad)
+        self.buckets = []  # (E, tile, mask_ids [Mb], d_hi, d_ids, mb_pad, d_cnt)
         self.hbm_bytes = 0
         host_ids = np.nonzero(counts > MAX_E)[0]
         assigned = counts > MAX_E
@@ -92,13 +92,16 @@ class DeviceSeedMatcher:
             tile = _tile_for(E, tile_m)
             mb_pad = ((ids.shape[0] + tile - 1) // tile) * tile
             hi = np.full((mb_pad, E), PAD_HI, dtype=np.uint32)
+            cnt = np.zeros(mb_pad, dtype=np.int32)
             for row, mi in enumerate(ids):
                 h, _ = split_kmers_hi_lo(per_mask[mi], self.k)
                 hi[row, : h.shape[0]] = h
+                cnt[row] = h.shape[0]
             ids_pad = np.full(mb_pad, INV_MASK, dtype=np.uint32)
             ids_pad[: ids.shape[0]] = ids.astype(np.uint32)
             self.buckets.append(
-                (E, tile, ids, jnp.asarray(hi), jnp.asarray(ids_pad), mb_pad)
+                (E, tile, ids, jnp.asarray(hi), jnp.asarray(ids_pad), mb_pad,
+                 jnp.asarray(cnt))
             )
             self.hbm_bytes += mb_pad * E * 4
         # host-overflow masks keep their sorted entry arrays
@@ -125,15 +128,15 @@ class DeviceSeedMatcher:
             import jax
             import jax.numpy as jnp
 
-            E, tile, _, _, _, mb_pad = self.buckets[bucket_index]
+            E, tile, _, _, _, mb_pad, _ = self.buckets[bucket_index]
             H = min(H_CAP, mb_pad)
 
-            def call(d_hi, d_ids, qh_b, t=tile, p=min_prefix, H=H):
+            def call(d_hi, d_cnt, d_ids, qh_b, qv_b, t=tile, p=min_prefix, H=H):
                 nh, e0 = jax.vmap(
-                    lambda q: seed_locate_pallas(
-                        d_hi, q, p=p, tile_m=t, interpret=self.interpret
+                    lambda q, v: seed_locate_pallas(
+                        d_hi, d_cnt, q, v, p=p, tile_m=t, interpret=self.interpret
                     )
-                )(qh_b)  # [B, mb_pad] i32
+                )(qh_b, qv_b)  # [B, mb_pad] i32
                 hit = nh > 0
                 keys = jnp.where(hit, d_ids[None, :], jnp.uint32(0xFFFFFFFF))
                 payload = (
@@ -153,7 +156,7 @@ class DeviceSeedMatcher:
     def describe(self) -> str:
         parts = [
             f"E={E} x {ids.shape[0]} masks (tile {tile})"
-            for E, tile, ids, _, _, _ in self.buckets
+            for E, tile, ids, *_ in self.buckets
         ]
         if self.host_tables:
             parts.append(f"host: {len(self.host_tables)} masks > {MAX_E}")
@@ -169,18 +172,20 @@ class DeviceSeedMatcher:
         import jax.numpy as jnp
 
         B = query_kmers_batch.shape[0]
-        qh = np.full((B, self.m), PAD_HI, dtype=np.uint32)
-        sel = query_kmers_batch != 0
+        qh = np.zeros((B, self.m), dtype=np.uint32)
+        sel = query_kmers_batch != 0  # 0 = "no captured k-mer" sentinel
         if sel.any():
             h, _ = split_kmers_hi_lo(query_kmers_batch[sel], self.k)
             qh[sel] = h
 
         pending = []
-        for bi, (E, tile, ids, d_hi, d_ids, mb_pad) in enumerate(self.buckets):
-            qh_b = np.full((B, mb_pad), PAD_HI, dtype=np.uint32)
+        for bi, (E, tile, ids, d_hi, d_ids, mb_pad, d_cnt) in enumerate(self.buckets):
+            qh_b = np.zeros((B, mb_pad), dtype=np.uint32)
             qh_b[:, : ids.shape[0]] = qh[:, ids]
+            qv_b = np.zeros((B, mb_pad), dtype=np.int32)
+            qv_b[:, : ids.shape[0]] = sel[:, ids]
             fn = self._bucket_fn(bi, min_prefix)
-            pending.append(fn(d_hi, d_ids, jnp.asarray(qh_b)))
+            pending.append(fn(d_hi, d_cnt, d_ids, jnp.asarray(qh_b), jnp.asarray(qv_b)))
 
         import jax
 

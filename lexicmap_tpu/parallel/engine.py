@@ -70,7 +70,9 @@ class DeviceSearchEngine:
         if idx.device_matcher is not None and idx.opt.min_prefix <= 16:
             batch = np.stack([masked[i][0] for i in valid])
             dev = idx.device_matcher.match_batch(batch, idx.opt.min_prefix)
-            dev_hits = {i: dev[b] for b, i in enumerate(valid)}
+            # None from match_batch = H_CAP overflow: mark "device declined"
+            # (False) so _collect_anchors uses host bisection directly
+            dev_hits = {i: (dev[b] if dev[b] is not None else False) for b, i in enumerate(valid)}
         else:
             dev_hits = {i: None for i in valid}
 

@@ -47,28 +47,40 @@ def split_kmers_hi_lo(kmers: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray
     return hi, lo
 
 
-def _seed_locate_kernel(qhi_ref, shi_ref, nh_ref, e0_ref, *, p):
+def _seed_locate_kernel(qhi_ref, qvalid_ref, shi_ref, cnt_ref, nh_ref, e0_ref, *, p):
     """Hi-word-only >=p-prefix range locate (p <= 16 bases live entirely in
     the hi word; rows are sorted by (hi, lo) so equal-hi entries cluster).
     LCP refinement happens host-side on the gathered entries, so neither the
-    lo words nor an LCP output are needed — this halves HBM and h2d bytes."""
-    qhi = qhi_ref[:]  # [TM, 1]
+    lo words nor an LCP output are needed — this halves HBM and h2d bytes.
+
+    Validity is carried OUT-OF-BAND: `qvalid` marks real query k-mers
+    (a poly-T query k-mer legitimately has hi == 0xFFFFFFFF) and `cnt`
+    gives each mask's real entry count so padded lanes never count as
+    hits even when rb saturates to 0xFFFFFFFF (15 leading T bases)."""
+    qhi = qhi_ref[:]  # [TM, 1] uint32
+    qvalid = qvalid_ref[:] != 0  # [TM, 1]
     shi = shi_ref[:]  # [TM, E]
+    cnt = cnt_ref[:]  # [TM, 1] int32
 
     suf = jnp.uint32((1 << (32 - 2 * p)) - 1)
     lb = qhi & ~suf
     rb = qhi | suf
 
-    has_query = qhi != PAD_HI
-    in_range = (shi >= lb) & (shi <= rb) & has_query
+    lane = jax.lax.broadcasted_iota(jnp.int32, shi.shape, 1)
+    real = lane < cnt
+    in_range = (shi >= lb) & (shi <= rb) & qvalid & real
     nh_ref[:] = jnp.sum(in_range.astype(jnp.int32), axis=1, keepdims=True)
-    e0_ref[:] = jnp.sum(((shi < lb) & has_query).astype(jnp.int32), axis=1, keepdims=True)
+    e0_ref[:] = jnp.sum(
+        ((shi < lb) & qvalid & real).astype(jnp.int32), axis=1, keepdims=True
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("p", "tile_m", "interpret"))
 def seed_locate_pallas(
     seed_hi: jnp.ndarray,  # [M, E] uint32, rows sorted
-    query_hi: jnp.ndarray,  # [M] uint32 (PAD_HI = no captured k-mer)
+    seed_cnt: jnp.ndarray,  # [M] int32 real entry count per mask row
+    query_hi: jnp.ndarray,  # [M] uint32
+    query_valid: jnp.ndarray,  # [M] int32/bool — 1 where a k-mer was captured
     p: int = 15,
     tile_m: int = 256,
     interpret: bool = False,
@@ -78,43 +90,54 @@ def seed_locate_pallas(
     assert M % tile_m == 0, (M, tile_m)
     grid = (M // tile_m,)
     kernel = functools.partial(_seed_locate_kernel, p=p)
+    col = pl.BlockSpec((tile_m, 1), lambda i: (i, 0))
     nh, e0 = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile_m, 1), lambda i: (i, 0)),
+            col,
+            col,
             pl.BlockSpec((tile_m, E), lambda i: (i, 0)),
+            col,
         ],
-        out_specs=[
-            pl.BlockSpec((tile_m, 1), lambda i: (i, 0)),
-            pl.BlockSpec((tile_m, 1), lambda i: (i, 0)),
-        ],
+        out_specs=[col, col],
         out_shape=[
             jax.ShapeDtypeStruct((M, 1), jnp.int32),
             jax.ShapeDtypeStruct((M, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(query_hi[:, None], seed_hi)
+    )(
+        query_hi[:, None],
+        query_valid.astype(jnp.int32)[:, None],
+        seed_hi,
+        seed_cnt.astype(jnp.int32)[:, None],
+    )
     return nh[:, 0], e0[:, 0]
 
 
-def _seed_match_kernel(qhi_ref, qlo_ref, shi_ref, slo_ref, nh_ref, e0_ref, lcp_ref, *, p, k):
+def _seed_match_kernel(
+    qhi_ref, qlo_ref, qvalid_ref, shi_ref, slo_ref, cnt_ref, nh_ref, e0_ref, lcp_ref, *, p, k
+):
     qhi = qhi_ref[:]  # [TM, 1]
     qlo = qlo_ref[:]
+    qvalid = qvalid_ref[:] != 0
     shi = shi_ref[:]  # [TM, E]
     slo = slo_ref[:]
+    cnt = cnt_ref[:]  # [TM, 1]
 
     # prefix range on the hi word: p bases = 2p bits of hi (p <= 16)
     suf = jnp.uint32((1 << (32 - 2 * p)) - 1)
     lb = qhi & ~suf
     rb = qhi | suf
 
-    in_range = (shi >= lb) & (shi <= rb)
-    has_query = (qhi != PAD_HI) | (qlo != PAD_HI)
-    in_range = in_range & has_query
+    lane = jax.lax.broadcasted_iota(jnp.int32, shi.shape, 1)
+    real = lane < cnt
+    in_range = (shi >= lb) & (shi <= rb) & qvalid & real
 
     nh_ref[:] = jnp.sum(in_range.astype(jnp.int32), axis=1, keepdims=True)
-    e0_ref[:] = jnp.sum(((shi < lb) & has_query).astype(jnp.int32), axis=1, keepdims=True)
+    e0_ref[:] = jnp.sum(
+        ((shi < lb) & qvalid & real).astype(jnp.int32), axis=1, keepdims=True
+    )
 
     # LCP in bases over hi+lo words (int32 throughout: Mosaic has no
     # unsigned reductions)
@@ -132,8 +155,10 @@ def _seed_match_kernel(qhi_ref, qlo_ref, shi_ref, slo_ref, nh_ref, e0_ref, lcp_r
 def seed_match_pallas(
     seed_hi: jnp.ndarray,  # [M, E] uint32, rows sorted by (hi, lo)
     seed_lo: jnp.ndarray,  # [M, E] uint32
-    query_hi: jnp.ndarray,  # [M] uint32 (PAD_HI = no captured k-mer)
+    seed_cnt: jnp.ndarray,  # [M] int32 real entry count per mask row
+    query_hi: jnp.ndarray,  # [M] uint32
     query_lo: jnp.ndarray,  # [M] uint32
+    query_valid: jnp.ndarray,  # [M] int32/bool
     p: int = 15,
     k: int = 31,
     tile_m: int = 256,
@@ -150,17 +175,10 @@ def seed_match_pallas(
         jax.ShapeDtypeStruct((M, 1), jnp.int32),
         jax.ShapeDtypeStruct((M, 1), jnp.int32),
     ]
-    in_specs = [
-        pl.BlockSpec((tile_m, 1), lambda i: (i, 0)),
-        pl.BlockSpec((tile_m, 1), lambda i: (i, 0)),
-        pl.BlockSpec((tile_m, E), lambda i: (i, 0)),
-        pl.BlockSpec((tile_m, E), lambda i: (i, 0)),
-    ]
-    out_specs = [
-        pl.BlockSpec((tile_m, 1), lambda i: (i, 0)),
-        pl.BlockSpec((tile_m, 1), lambda i: (i, 0)),
-        pl.BlockSpec((tile_m, 1), lambda i: (i, 0)),
-    ]
+    col = pl.BlockSpec((tile_m, 1), lambda i: (i, 0))
+    tbl = pl.BlockSpec((tile_m, E), lambda i: (i, 0))
+    in_specs = [col, col, col, tbl, tbl, col]
+    out_specs = [col, col, col]
     nh, e0, lcp = pl.pallas_call(
         kernel,
         grid=grid,
@@ -168,31 +186,14 @@ def seed_match_pallas(
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(query_hi[:, None], query_lo[:, None], seed_hi, seed_lo)
+    )(
+        query_hi[:, None],
+        query_lo[:, None],
+        query_valid.astype(jnp.int32)[:, None],
+        seed_hi,
+        seed_lo,
+        seed_cnt.astype(jnp.int32)[:, None],
+    )
     return nh[:, 0], e0[:, 0], lcp[:, 0]
 
 
-def pack_index_for_device(chunk_readers, m_total: int, k: int, pad_entries: int | None = None):
-    """Pack a columnar seed index into the device [M, E] hi/lo layout.
-
-    Rows are per-mask entry k-mers padded with PAD_HI; E is the max entry
-    count rounded up to a multiple of 128 (lane width).
-    """
-    per_mask: list[np.ndarray] = []
-    for rdr in chunk_readers:
-        kmers = np.asarray(rdr.kmers)
-        off = np.asarray(rdr.mask_offsets)
-        for mi in range(rdr.mask_end - rdr.mask_begin):
-            per_mask.append(kmers[off[mi] : off[mi + 1]])
-    assert len(per_mask) == m_total
-    E = max((a.shape[0] for a in per_mask), default=1)
-    E = max(((E + 127) // 128) * 128, 128)
-    if pad_entries:
-        E = max(E, pad_entries)
-    hi = np.full((m_total, E), PAD_HI, dtype=np.uint32)
-    lo = np.full((m_total, E), PAD_HI, dtype=np.uint32)
-    for i, arr in enumerate(per_mask):
-        h, l = split_kmers_hi_lo(arr, k)
-        hi[i, : h.shape[0]] = h
-        lo[i, : l.shape[0]] = l
-    return hi, lo, E

@@ -7,6 +7,7 @@ jax = pytest.importorskip("jax")
 
 from lexicmap_tpu.parallel.pallas_kernels import (
     PAD_HI,
+    seed_locate_pallas,
     seed_match_pallas,
     split_kmers_hi_lo,
 )
@@ -40,13 +41,16 @@ def test_seed_match_pallas_matches_bruteforce():
     th, tl = split_kmers_hi_lo(table.ravel(), k)
     hi[:, : E - 16] = th.reshape(M, E - 16)
     lo[:, : E - 16] = tl.reshape(M, E - 16)
-    qh = np.full(M, PAD_HI, dtype=np.uint32)
-    ql = np.full(M, PAD_HI, dtype=np.uint32)
+    cnt = np.full(M, E - 16, dtype=np.int32)
+    qh = np.zeros(M, dtype=np.uint32)
+    ql = np.zeros(M, dtype=np.uint32)
     qh2, ql2 = split_kmers_hi_lo(queries, k)
     qh[has] = qh2[has]
     ql[has] = ql2[has]
 
-    nh, e0, lcp = seed_match_pallas(hi, lo, qh, ql, p=p, k=k, tile_m=128, interpret=True)
+    nh, e0, lcp = seed_match_pallas(
+        hi, lo, cnt, qh, ql, has, p=p, k=k, tile_m=128, interpret=True
+    )
     nh = np.asarray(nh)
     e0 = np.asarray(e0)
     lcp = np.asarray(lcp)
@@ -70,3 +74,51 @@ def test_seed_match_pallas_matches_bruteforce():
             sel = row[(row >= lb) & (row <= rb)]
             lcps = KM.kmer_lcp(sel, np.full(sel.shape[0], q, dtype=np.uint64), k)
             assert lcp[m] == int(lcps.max()), m
+
+
+def test_seed_locate_polyT_queries_exact():
+    """Regression for the PAD_HI in-band sentinel bug (ADVICE round 2):
+    (a) a query k-mer whose first 16 bases are all T has hi == 0xFFFFFFFF
+        and must still match; (b) a query with 15 leading T's saturates the
+        range upper bound to 0xFFFFFFFF, and padded table lanes must NOT be
+        counted as hits."""
+    k, p = 31, 15
+    M, E = 128, 128
+    polyT16 = np.uint64(0xFFFFFFFF) << np.uint64(2 * k - 32)  # TTTT...T + zeros
+    polyT15 = np.uint64(0x3FFFFFFF) << np.uint64(2 * k - 30)  # 15 T's then A's
+
+    table = np.zeros((M, E), dtype=np.uint64)
+    cnt = np.zeros(M, dtype=np.int32)
+    queries = np.zeros(M, dtype=np.uint64)
+    has = np.zeros(M, dtype=bool)
+
+    # mask 0: poly-T query, 3 real entries sharing its 15-base prefix
+    queries[0] = polyT16 | np.uint64(0x123)
+    has[0] = True
+    table[0, :3] = [polyT16 | np.uint64(1), polyT16 | np.uint64(0x100), polyT16]
+    table[0, :3].sort()
+    cnt[0] = 3
+
+    # mask 1: 15-leading-T query (rb saturates), only 2 real entries,
+    # the rest of the row is PAD_HI padding that must not count
+    queries[1] = polyT15 | np.uint64(7)
+    has[1] = True
+    table[1, :2] = [polyT15 | np.uint64(3), polyT15 | np.uint64(9)]
+    cnt[1] = 2
+
+    hi = np.full((M, E), PAD_HI, dtype=np.uint32)
+    for m in range(M):
+        if cnt[m]:
+            h, _ = split_kmers_hi_lo(table[m, : cnt[m]], k)
+            hi[m, : cnt[m]] = h
+
+    qh = np.zeros(M, dtype=np.uint32)
+    qh2, _ = split_kmers_hi_lo(queries, k)
+    qh[has] = qh2[has]
+
+    nh, e0 = seed_locate_pallas(hi, cnt, qh, has, p=p, tile_m=128, interpret=True)
+    nh, e0 = np.asarray(nh), np.asarray(e0)
+
+    assert nh[0] == 3 and e0[0] == 0  # (a) poly-T query still matches
+    assert nh[1] == 2 and e0[1] == 0  # (b) padded lanes not counted
+    assert (nh[2:] == 0).all()
