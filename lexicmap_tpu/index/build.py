@@ -306,10 +306,11 @@ class _DesertWindow:
     """
 
     def __init__(self, mask_set: MaskSet, wf: np.ndarray, wr: np.ndarray):
-        """wf/wr must already have k-mers at excluded (interval/gap)
-        positions removed: the reference's N-filled junctions yield no valid
-        k-mers, so they never compete in the regional capture, whereas our
-        A-filled junction codes would."""
+        """wf/wr are ALL window k-mers including interval/gap positions: the
+        reference's regional re-mask passes skipRegions=nil over the
+        'A'-filled concatenation (ref: lib-index-build.go:924,1196), so
+        junction k-mers compete for capture; they are only skipped at
+        selection time via the interval tree (pos_ok)."""
         self.ms = mask_set
         self.k = mask_set.k
         self.p = mask_set.distinct_prefix_len
@@ -411,14 +412,6 @@ def fill_deserts(
 
         wf = fwd[start : start + nw]
         wr = rc[start : start + nw]
-        if interval_excluded is not None:
-            ex = interval_excluded[start : start + nw]
-            if ex.shape[0] < wf.shape[0]:
-                ex = np.concatenate(
-                    [ex, np.zeros(wf.shape[0] - ex.shape[0], dtype=bool)]
-                )
-            wf = wf[~ex]
-            wr = wr[~ex]
         win = _DesertWindow(mask_set, wf, wr)
 
         def try_pos(_j: int):

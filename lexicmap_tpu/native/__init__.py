@@ -189,7 +189,7 @@ def get_lib():
         u64p, u64p, ctypes.c_int64, u32p, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_int64, u64p, ctypes.c_int64,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-        ctypes.c_int32, i64p, u64p, i64p, ctypes.c_int64,
+        ctypes.c_int32, i64p, u64p, i64p, ctypes.c_int64, ctypes.c_int32,
     ]
     _lib = lib
     return _lib
@@ -331,7 +331,7 @@ def capture_native_call(fwd, rc, exclude, masks, k, prefix_len, check_shorter):
 
 def fill_deserts_native_call(
     fwd, rc, locs, interval_excluded, masks, k, prefix_len,
-    max_desert, seed_dist, seed_pos_r,
+    max_desert, seed_dist, seed_pos_r, flags=0,
 ):
     """Returns list of (mask_idx, kmer, loc) or None."""
     lib = get_lib()
@@ -357,7 +357,7 @@ def fill_deserts_native_call(
         w = lib.fill_deserts_native(
             fwd, rc, nk, locs, nlocs, excl_ptr, n_excl,
             masks, int(masks.shape[0]), k, prefix_len,
-            max_desert, seed_dist, seed_pos_r, om, ok, ol, cap,
+            max_desert, seed_dist, seed_pos_r, om, ok, ol, cap, flags,
         )
         if w == -1:
             cap *= 4

@@ -763,7 +763,14 @@ int64_t fill_deserts_native(
     const uint64_t* masks, int64_t m,
     int32_t k, int32_t prefix_len,
     int32_t max_desert, int32_t seed_dist, int32_t seed_pos_r,
-    int64_t* out_mask, uint64_t* out_kmer, int64_t* out_loc, int64_t cap) {
+    int64_t* out_mask, uint64_t* out_kmer, int64_t* out_loc, int64_t cap,
+    int32_t flags) {
+    // flags bit0: EXCLUDE interval/gap-region k-mers from the window
+    //   competition (the reference does NOT: its regional re-mask passes
+    //   skipRegions=nil, ref: lib-index-build.go:1196, and junctions are
+    //   'A'-filled, ref: lib-index-build.go:924, so junction k-mers compete
+    //   for capture there; they are only skipped at selection time via the
+    //   interval tree).  0 = reference behavior.
     if (nk <= 0) return 0;
     int64_t L = nk + k - 1;
     uint64_t ccc = 0, ggg = 0, ttt = 0;
@@ -800,14 +807,17 @@ int64_t fill_deserts_native(
         int64_t pos_of_cur = pos_of_pre + d;
 
         // sorted window k-mers: each distinct-prefix bucket is a contiguous
-        // range found by binary search.  K-mers at excluded (interval/gap)
-        // positions never compete: the reference's N-filled junctions yield
-        // no valid k-mers there, while our A-filled junction codes would.
+        // range found by binary search.  K-mers at interval/gap positions
+        // compete for capture like in the reference (regional re-mask with
+        // skipRegions=nil over the 'A'-filled concatenation); they are only
+        // skipped at selection time (pos_ok below).
+        bool excl_in_window = (flags & 1) != 0;
         wk.clear();
         wk.reserve((size_t)(2 * nw));
         for (int64_t i = 0; i < nw; ++i) {
             int64_t gp = start + i;
-            if (interval_excluded && gp < n_excl && interval_excluded[gp]) continue;
+            if (excl_in_window && interval_excluded && gp < n_excl &&
+                interval_excluded[gp]) continue;
             wk.push_back(fwd[gp]);
             wk.push_back(rc[gp]);
         }
