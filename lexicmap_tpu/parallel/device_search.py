@@ -48,6 +48,46 @@ def _tile_for(E: int, tile_m: int) -> int:
     return int(t)
 
 
+def collect_per_mask_tables(index_searcher) -> list[np.ndarray]:
+    """Per-mask sorted entry k-mer arrays from the columnar seed chunks."""
+    per_mask: list[np.ndarray] = []
+    for rdr in index_searcher.chunks:
+        kmers = np.asarray(rdr.kmers)
+        off = np.asarray(rdr.mask_offsets)
+        for mi in range(rdr.mask_end - rdr.mask_begin):
+            per_mask.append(kmers[off[mi] : off[mi + 1]])
+    return per_mask
+
+
+def bucket_edges_for(counts: np.ndarray) -> list[int]:
+    """Entry-count bucket edges from the distribution's quantiles
+    (p50/p90/p99/max, rounded up to the 128-lane width, capped at MAX_E)."""
+    qs = np.quantile(counts, [0.5, 0.9, 0.99, 1.0]) if counts.shape[0] else [128]
+    edges: list[int] = []
+    for q in qs:
+        e = max(((int(q) + 127) // 128) * 128, 128)
+        if e > MAX_E:
+            e = MAX_E
+        if not edges or e > edges[-1]:
+            edges.append(e)
+    return edges
+
+
+def pack_bucket_rows(per_mask, ids: np.ndarray, k: int, E: int, mb_pad: int):
+    """Pack the masks `ids` into PAD_HI-padded [mb_pad, E] hi-word rows.
+
+    Returns (hi [mb_pad, E] u32, cnt [mb_pad] i32, gids [mb_pad] u32)."""
+    hi = np.full((mb_pad, E), PAD_HI, dtype=np.uint32)
+    cnt = np.zeros(mb_pad, dtype=np.int32)
+    for row, mi in enumerate(ids):
+        h, _ = split_kmers_hi_lo(per_mask[mi], k)
+        hi[row, : h.shape[0]] = h
+        cnt[row] = h.shape[0]
+    gids = np.full(mb_pad, INV_MASK, dtype=np.uint32)
+    gids[: ids.shape[0]] = ids.astype(np.uint32)
+    return hi, cnt, gids
+
+
 class DeviceSeedMatcher:
     def __init__(self, index_searcher, tile_m: int = 200, interpret: bool | None = None):
         import jax
@@ -60,25 +100,13 @@ class DeviceSeedMatcher:
             interpret = jax.devices()[0].platform == "cpu"
         self.interpret = interpret
 
-        per_mask: list[np.ndarray] = []
-        for rdr in index_searcher.chunks:
-            kmers = np.asarray(rdr.kmers)
-            off = np.asarray(rdr.mask_offsets)
-            for mi in range(rdr.mask_end - rdr.mask_begin):
-                per_mask.append(kmers[off[mi] : off[mi + 1]])
+        per_mask = collect_per_mask_tables(index_searcher)
         assert len(per_mask) == self.m
         counts = np.array([a.shape[0] for a in per_mask], dtype=np.int64)
 
         # adaptive E buckets: quantiles of the entry-count distribution,
         # rounded up to the 128-lane width
-        qs = np.quantile(counts, [0.5, 0.9, 0.99, 1.0]) if self.m else [128]
-        edges: list[int] = []
-        for q in qs:
-            e = max(((int(q) + 127) // 128) * 128, 128)
-            if e > MAX_E:
-                e = MAX_E
-            if not edges or e > edges[-1]:
-                edges.append(e)
+        edges = bucket_edges_for(counts)
 
         self.buckets = []  # (E, tile, mask_ids [Mb], d_hi, d_ids, mb_pad, d_cnt)
         self.hbm_bytes = 0
@@ -91,14 +119,7 @@ class DeviceSeedMatcher:
                 continue
             tile = _tile_for(E, tile_m)
             mb_pad = ((ids.shape[0] + tile - 1) // tile) * tile
-            hi = np.full((mb_pad, E), PAD_HI, dtype=np.uint32)
-            cnt = np.zeros(mb_pad, dtype=np.int32)
-            for row, mi in enumerate(ids):
-                h, _ = split_kmers_hi_lo(per_mask[mi], self.k)
-                hi[row, : h.shape[0]] = h
-                cnt[row] = h.shape[0]
-            ids_pad = np.full(mb_pad, INV_MASK, dtype=np.uint32)
-            ids_pad[: ids.shape[0]] = ids.astype(np.uint32)
+            hi, cnt, ids_pad = pack_bucket_rows(per_mask, ids, self.k, E, mb_pad)
             self.buckets.append(
                 (E, tile, ids, jnp.asarray(hi), jnp.asarray(ids_pad), mb_pad,
                  jnp.asarray(cnt))

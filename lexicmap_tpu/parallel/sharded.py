@@ -144,53 +144,221 @@ class ShardedSeedMatcher:
     """Drop-in `match_batch` provider (same triples as DeviceSeedMatcher)
     backed by an index sharded over a device mesh.
 
-    The packed per-mask entry table lives distributed over the mesh's tp
-    axis; match_batch answers a whole query batch with one sharded dispatch.
+    Layout is the same transfer-aware design as DeviceSeedMatcher — hi-word
+    uint32 entries in quantile-chosen entry-count buckets (the packing code
+    is shared: device_search.pack_bucket_rows / bucket_edges_for), so shard
+    HBM is ~sum(entry counts)/2 bytes, NOT m_pad * maxE * 8.  Masks are
+    dealt round-robin to tp shards (mask i -> shard i % tp), which balances
+    the repeat-heavy masks; each shard locates + compacts hits for its local
+    masks and an all_gather over tp returns the per-query compacted
+    (mask, e0<<16|n_hits) pairs — the collective replaces the reference's
+    per-chunk goroutines + channel collection (lib-index-search.go:1531-1599
+    + merge-search-results.go:38-52 semantics).
+
     Downstream consumption (posting gather, chaining, alignment) is the
     identical host code, so a multi-device run must reproduce the
     single-device TSV byte-for-byte (asserted by
-    tests/test_parallel.py::test_sharded_full_pipeline_tsv_identical and
-    __graft_entry__.dryrun_multichip).
+    tests/test_parallel.py and __graft_entry__.dryrun_multichip on the real
+    demo index, golden 84-row q.gene TSV).
     """
 
-    def __init__(self, index_searcher, mesh: Mesh):
+    #: per-(query, shard, bucket) compacted-hit capacity
+    H_SHARD = 1536
+
+    def __init__(self, index_searcher, mesh: Mesh, interpret: bool | None = None):
+        from .device_search import (
+            MAX_E,
+            bucket_edges_for,
+            collect_per_mask_tables,
+            pack_bucket_rows,
+        )
+
+        if interpret is None:
+            interpret = jax.devices()[0].platform == "cpu"
+        self.interpret = interpret
         self.idx = index_searcher
         self.mesh = mesh
         self.k = index_searcher.k
         self.m = index_searcher.mask_set.m
-        tp = mesh.devices.shape[1]
+        self.tp = tp = mesh.devices.shape[1]
         self.dp = mesh.devices.shape[0]
 
-        per_mask: list[np.ndarray] = []
-        for rdr in index_searcher.chunks:
-            km = np.asarray(rdr.kmers)
-            off = np.asarray(rdr.mask_offsets)
-            for mi in range(rdr.mask_end - rdr.mask_begin):
-                per_mask.append(km[off[mi] : off[mi + 1]])
+        per_mask = collect_per_mask_tables(index_searcher)
         assert len(per_mask) == self.m
-        E = max((a.shape[0] for a in per_mask), default=1)
-        E = max(((E + 127) // 128) * 128, 128)
-        m_pad = ((self.m + tp - 1) // tp) * tp
-        table = np.full((m_pad, E), PAD_KMER, dtype=np.uint64)
-        for i, a in enumerate(per_mask):
-            table[i, : a.shape[0]] = a
-        self.m_pad = m_pad
-        self.E = E
-        self.table = jax.device_put(table, NamedSharding(mesh, P("tp", None)))
-        self._step = make_sharded_seed_locate(mesh, self.k, index_searcher.opt.min_prefix)
+        counts = np.array([a.shape[0] for a in per_mask], dtype=np.int64)
+        edges = bucket_edges_for(counts)
+        shard_of = np.arange(self.m) % tp  # round-robin balance
+
+        # per bucket: stacked per-shard tables [tp, mb_pad, E]
+        self.buckets = []  # (E, tile, d_hi, d_cnt, d_gids, mb_pad, ids_per_shard)
+        self.hbm_bytes = 0
+        host_ids = np.nonzero(counts > MAX_E)[0]
+        assigned = counts > MAX_E
+        for E in edges:
+            sel = ~assigned & (counts <= E)
+            assigned |= counts <= E
+            if not sel.any():
+                continue
+            ids_per_shard = [np.nonzero(sel & (shard_of == s))[0] for s in range(tp)]
+            mb = max(ids.shape[0] for ids in ids_per_shard)
+            tile = _shard_tile_for(E)
+            mb_pad = max(((mb + tile - 1) // tile) * tile, tile)
+            hi = np.empty((tp, mb_pad, E), dtype=np.uint32)
+            cnt = np.empty((tp, mb_pad), dtype=np.int32)
+            gids = np.empty((tp, mb_pad), dtype=np.uint32)
+            for s, ids in enumerate(ids_per_shard):
+                hi[s], cnt[s], gids[s] = pack_bucket_rows(per_mask, ids, self.k, E, mb_pad)
+            d_hi = jax.device_put(hi, NamedSharding(mesh, P("tp", None, None)))
+            d_cnt = jax.device_put(cnt, NamedSharding(mesh, P("tp", None)))
+            d_gids = jax.device_put(gids, NamedSharding(mesh, P("tp", None)))
+            self.buckets.append((E, tile, d_hi, d_cnt, d_gids, mb_pad, ids_per_shard))
+            self.hbm_bytes += tp * mb_pad * E * 4
+        self.host_tables = {int(mi): per_mask[mi] for mi in host_ids}
+        self._fns: dict = {}
+
+    def describe(self) -> str:
+        parts = [
+            f"E={E} x {tp_mb}x{self.tp} shard rows (tile {tile})"
+            for E, tile, _, _, _, tp_mb, _ in self.buckets
+        ]
+        if self.host_tables:
+            parts.append(f"host: {len(self.host_tables)} masks")
+        return (
+            f"sharded seed table: {self.hbm_bytes / 1e6:.1f} MB total HBM over "
+            f"tp={self.tp} [" + ", ".join(parts) + "]"
+        )
+
+    def _bucket_fn(self, bucket_index: int, min_prefix: int):
+        key = (bucket_index, min_prefix)
+        fn = self._fns.get(key)
+        if fn is not None:
+            return fn
+        import jax.numpy as jnp
+
+        from .pallas_kernels import seed_locate_pallas
+
+        E, tile, _, _, _, mb_pad, _ = self.buckets[bucket_index]
+        H = min(self.H_SHARD, mb_pad)
+        interpret = self.interpret
+
+        def step(d_hi, d_cnt, d_gids, qh, qv):
+            # local shard: strip the leading tp axis (size 1 per shard)
+            hi_l, cnt_l, gids_l = d_hi[0], d_cnt[0], d_gids[0]
+            qh_l, qv_l = qh[:, 0], qv[:, 0]  # [Bl, mb_pad]
+            nh, e0 = jax.vmap(
+                lambda q, v: seed_locate_pallas(
+                    hi_l, cnt_l, q, v, p=min_prefix, tile_m=tile,
+                    interpret=interpret,
+                )
+            )(qh_l, qv_l)  # [Bl, mb_pad]
+            hit = nh > 0
+            keys = jnp.where(hit, gids_l[None, :], jnp.uint32(0xFFFFFFFF))
+            payload = (e0.astype(jnp.uint32) << jnp.uint32(16)) | nh.astype(jnp.uint32)
+            keys, payload = jax.lax.sort(
+                (keys, payload), dimension=1, num_keys=1, is_stable=False
+            )
+            keys = keys[:, :H][:, None, :]       # [Bl, 1, H]
+            payload = payload[:, :H][:, None, :]
+            n = jnp.sum(hit.astype(jnp.int32), axis=1)[:, None]  # [Bl, 1]
+            keys = jax.lax.all_gather(keys, "tp", axis=1, tiled=True)
+            payload = jax.lax.all_gather(payload, "tp", axis=1, tiled=True)
+            n = jax.lax.all_gather(n, "tp", axis=1, tiled=True)
+            return keys, payload, n
+
+        smapped = jax.shard_map(
+            step,
+            mesh=self.mesh,
+            in_specs=(P("tp", None, None), P("tp", None), P("tp", None),
+                      P("dp", "tp", None), P("dp", "tp", None)),
+            out_specs=(P("dp", None, None), P("dp", None, None), P("dp", None)),
+            check_vma=False,
+        )
+        fn = jax.jit(smapped)
+        self._fns[key] = fn
+        return fn
 
     def match_batch(self, query_kmers_batch: np.ndarray, min_prefix: int):
-        """query_kmers_batch [B, m] -> per-query (hit_masks, e0, n_hits)."""
+        """query_kmers_batch [B, m] -> per-query (hit_masks, e0, n_hits)
+        triples (None where a shard overflowed H_SHARD -> host fallback)."""
+        from .pallas_kernels import split_kmers_hi_lo
+
         B = query_kmers_batch.shape[0]
         b_pad = ((B + self.dp - 1) // self.dp) * self.dp
-        q = np.zeros((b_pad, self.m_pad), dtype=np.uint64)
-        q[:B, : self.m] = query_kmers_batch
-        sq = jax.device_put(q, NamedSharding(self.mesh, P("dp", "tp")))
-        nh, e0 = self._step(self.table, sq)
-        nh = np.asarray(nh)[:B, : self.m]
-        e0 = np.asarray(e0)[:B, : self.m]
+        qh_full = np.zeros((b_pad, self.m), dtype=np.uint32)
+        sel = np.zeros((b_pad, self.m), dtype=bool)
+        sel[:B] = query_kmers_batch != 0
+        if sel.any():
+            h, _ = split_kmers_hi_lo(query_kmers_batch[sel[:B]], self.k)
+            qh_full[sel] = h
+
+        pending = []
+        for bi, (E, tile, d_hi, d_cnt, d_gids, mb_pad, ids_per_shard) in enumerate(
+            self.buckets
+        ):
+            qh = np.zeros((b_pad, self.tp, mb_pad), dtype=np.uint32)
+            qv = np.zeros((b_pad, self.tp, mb_pad), dtype=np.int32)
+            for s, ids in enumerate(ids_per_shard):
+                qh[:, s, : ids.shape[0]] = qh_full[:, ids]
+                qv[:, s, : ids.shape[0]] = sel[:, ids]
+            sqh = jax.device_put(qh, NamedSharding(self.mesh, P("dp", "tp", None)))
+            sqv = jax.device_put(qv, NamedSharding(self.mesh, P("dp", "tp", None)))
+            fn = self._bucket_fn(bi, min_prefix)
+            pending.append(fn(d_hi, d_cnt, d_gids, sqh, sqv))
+
+        fetched = jax.device_get(pending)
+
+        per_query: list[list] = [[] for _ in range(B)]
+        overflow = np.zeros(B, dtype=bool)
+        for bi, (keys, payload, ncnt) in enumerate(fetched):
+            H = keys.shape[2]
+            for b in range(B):
+                for s in range(self.tp):
+                    n = int(ncnt[b, s])
+                    if n > H:
+                        overflow[b] = True
+                    elif n:
+                        per_query[b].append((keys[b, s, :n], payload[b, s, :n]))
+
+        # host bisection for the few over-cap masks
+        host_extra: list[list] = [[] for _ in range(B)]
+        if self.host_tables:
+            suf = np.uint64((1 << (2 * (self.k - min_prefix))) - 1)
+            for mi, table in self.host_tables.items():
+                col = query_kmers_batch[:, mi]
+                for b in np.nonzero(col != 0)[0]:
+                    q = col[b]
+                    lo_i = int(np.searchsorted(table, q & ~suf, side="left"))
+                    hi_i = int(np.searchsorted(table, q | suf, side="right"))
+                    if hi_i > lo_i:
+                        host_extra[b].append((mi, lo_i, hi_i - lo_i))
+
         out = []
         for b in range(B):
-            hit = np.nonzero(nh[b] > 0)[0]
-            out.append((hit, e0[b][hit].astype(np.int64), nh[b][hit].astype(np.int64)))
+            if overflow[b]:
+                out.append(None)
+                continue
+            if per_query[b]:
+                keys = np.concatenate([k for k, _ in per_query[b]])
+                pay = np.concatenate([p for _, p in per_query[b]])
+                hm = keys.astype(np.int64)
+                e0 = (pay >> np.uint32(16)).astype(np.int64)
+                nh = (pay & np.uint32(0xFFFF)).astype(np.int64)
+            else:
+                hm = np.empty(0, dtype=np.int64)
+                e0 = np.empty(0, dtype=np.int64)
+                nh = np.empty(0, dtype=np.int64)
+            if host_extra[b]:
+                hm = np.concatenate([hm, [m for m, _, _ in host_extra[b]]])
+                e0 = np.concatenate([e0, [o for _, o, _ in host_extra[b]]])
+                nh = np.concatenate([nh, [n for _, _, n in host_extra[b]]])
+            if hm.shape[0] > 1:
+                order = np.argsort(hm, kind="stable")
+                hm, e0, nh = hm[order], e0[order], nh[order]
+            out.append((hm, e0, nh))
         return out
+
+
+def _shard_tile_for(E: int) -> int:
+    from .device_search import _tile_for
+
+    return _tile_for(E, 200)

@@ -1,5 +1,7 @@
 """Sharded search-step tests on the virtual 8-device CPU mesh."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -183,3 +185,42 @@ def test_sharded_full_pipeline_tsv_identical(tmp_path):
         shard_rows = list(format_hit_rows(f"q{qi}", len(queries[qi]), shard_hits))
         assert host_rows, f"query {qi} found nothing"
         assert shard_rows == host_rows
+
+
+DEMO_DB = os.environ.get("LEXICMAP_TPU_DEMO_DB", "/tmp/demo.lmt")
+DEMO_DIR = "/root/reference/demo"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(DEMO_DB, "info.json")),
+    reason="demo index not built",
+)
+def test_sharded_demo_index_golden_tsv():
+    """The REAL demo index (20,000 masks) sharded over the 8-device mesh
+    reproduces the reference's committed golden q.gene TSV byte-for-byte
+    (ref: demo/q.gene.fasta.lexicmap.tsv, 84 rows)."""
+    import numpy as np
+
+    from lexicmap_tpu.cli import format_hit_rows
+    from lexicmap_tpu.index.search import IndexSearcher, SearchOptions
+    from lexicmap_tpu.parallel.sharded import ShardedSeedMatcher, make_mesh
+    from lexicmap_tpu.utils.fasta import read_fastx
+    from lexicmap_tpu.utils.kmers import seq_to_codes
+
+    idx = IndexSearcher(DEMO_DB, SearchOptions())
+    mesh = make_mesh(8)
+    matcher = ShardedSeedMatcher(idx, mesh)
+    # the bucketed hi-word layout must stay ~sum(counts)/2, far below the
+    # dense m_pad * maxE * 8 layout (>2.5 GB for the demo index)
+    assert matcher.hbm_bytes < 64 << 20, matcher.describe()
+
+    rec = next(iter(read_fastx(os.path.join(DEMO_DIR, "q.gene.fasta"))))
+    codes = seq_to_codes(rec.seq)
+    masked = idx._mask_query(codes)
+    dev = matcher.match_batch(masked[0][None, :], idx.opt.min_prefix)
+    assert dev[0] is not None
+    hits = idx.search(codes, premasked=masked, dev_hits_pre=dev[0])
+    rows = list(format_hit_rows(rec.id.decode(), len(rec.seq), hits))
+    with open(os.path.join(DEMO_DIR, "q.gene.fasta.lexicmap.tsv")) as fh:
+        golden = [line.rstrip("\n") for line in fh][1:]
+    assert rows == golden
