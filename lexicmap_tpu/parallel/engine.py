@@ -29,7 +29,11 @@ import numpy as np
 
 
 class DeviceSearchEngine:
-    def __init__(self, idx):
+    def __init__(self, idx, mesh=None):
+        """mesh: optional jax.sharding.Mesh — runs phase 2a with the
+        mask-sharded ShardedSeedMatcher and phase 4 with window chunks
+        sharded over all mesh devices.  None = single chip (same code:
+        the mesh only changes array placement)."""
         from ..ops.seqcompare import SeqComparator
         from .pseudo_device import DevicePseudoAligner
 
@@ -42,7 +46,14 @@ class DeviceSearchEngine:
             max_gap=int(copt.max_gap),
             min_score=int(copt.min_score),
             min_align_len=copt.min_align_len,
+            mesh=mesh,
         )
+        if mesh is not None:
+            from .sharded import ShardedSeedMatcher
+
+            self.matcher = ShardedSeedMatcher(idx, mesh)
+        else:
+            self.matcher = idx.device_matcher
 
     # ------------------------------------------------------------------
     def search_batch(self, seqs: list[bytes]):
@@ -67,9 +78,9 @@ class DeviceSearchEngine:
         assert len(valid) <= 32, "engine batches are capped at 32 queries"
 
         masked = {i: idx._mask_query(codes[i]) for i in valid}
-        if idx.device_matcher is not None and idx.opt.min_prefix <= 16:
+        if self.matcher is not None and idx.opt.min_prefix <= 16:
             batch = np.stack([masked[i][0] for i in valid])
-            dev = idx.device_matcher.match_batch(batch, idx.opt.min_prefix)
+            dev = self.matcher.match_batch(batch, idx.opt.min_prefix)
             # None from match_batch = H_CAP overflow: mark "device declined"
             # (False) so _collect_anchors uses host bisection directly
             dev_hits = {i: (dev[b] if dev[b] is not None else False) for b, i in enumerate(valid)}

@@ -727,15 +727,46 @@ class DevicePseudoAligner:
     """
 
     def __init__(self, band_base=100, band_count=50, max_gap=20,
-                 min_score=35, min_align_len=50):
+                 min_score=35, min_align_len=50, mesh=None):
         self.band_base = band_base
         self.band_count = band_count
         self.max_gap = max_gap
         self.min_score = min_score
         self.min_align_len = min_align_len
+        #: optional jax.sharding.Mesh — window chunks are sharded over ALL
+        #: mesh devices (windows are independent, so phase 4 is pure data
+        #: parallelism over the window axis; XLA partitions the vmapped
+        #: probe/chain programs with no collectives).  None = single device.
+        self.mesh = mesh
         self._probe_fn = None
         self._chain_fns = {}
         self.stats = {"windows": 0, "host_windows": 0, "host_queries": 0}
+
+    def _put_windows(self, arrays):
+        """device_put window-major arrays, sharded over the mesh when set."""
+        import jax
+
+        if self.mesh is None:
+            return jax.device_put(arrays)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axes = tuple(self.mesh.axis_names)
+        shardings = tuple(
+            NamedSharding(self.mesh, P(axes, *([None] * (a.ndim - 1))))
+            for a in arrays
+        )
+        return jax.device_put(arrays, shardings)
+
+    def _put_replicated(self, arrays):
+        import jax
+
+        if self.mesh is None:
+            return jax.device_put(arrays)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(
+            arrays, tuple(NamedSharding(self.mesh, P()) for _ in arrays)
+        )
 
     def _probe(self):
         if self._probe_fn is None:
@@ -791,7 +822,7 @@ class DevicePseudoAligner:
             qkh[qi] = kh
             qkl[qi] = kl
             qv_a[qi] = v
-        tables_d = jax.device_put((qkh, qkl, qv_a))
+        tables_d = self._put_replicated((qkh, qkl, qv_a))
 
         # ---- probe in fixed-size chunks (bounded compile variants) ----
         WC = W_CHUNKS[0] if len(dev_idx) <= 2 * W_CHUNKS[0] else W_CHUNKS[1]
@@ -812,7 +843,7 @@ class DevicePseudoAligner:
                 qidx_a[row] = qidx
                 begin_a[row] = begin
                 end_a[row] = end
-            dev_in = jax.device_put((packed, wlen, qidx_a, begin_a, end_a))
+            dev_in = self._put_windows((packed, wlen, qidx_a, begin_a, end_a))
             ak1, ak2, counts_d, flags_d = probe(*dev_in, *tables_d)
             chunk_out.append((idxs, ak1, ak2, counts_d))
             small.append((counts_d, flags_d))
@@ -843,6 +874,8 @@ class DevicePseudoAligner:
                     sub1 = ak1[ridx_d][:, :A_b]
                     sub2 = ak2[ridx_d][:, :A_b]
                     subc = counts_d[ridx_d]
+                    if self.mesh is not None:
+                        sub1, sub2, subc = self._put_windows((sub1, sub2, subc))
                     out, cnt, flg = self._chain()(sub1, sub2, subc)
                     pending.append(([idxs[r] for r in part], out, cnt, flg))
 
