@@ -166,6 +166,19 @@ def cmd_search(args) -> int:
 
     taxids, negative_taxids = parse_taxid_args(args.taxids or [], args.taxid_file or None)
 
+    if args.engine == "auto":
+        # device engine only pays for itself on a real accelerator; the
+        # window-sparse routing threshold is applied per batch in the engine
+        try:
+            import jax
+
+            args.engine = "host" if jax.devices()[0].platform == "cpu" else "device"
+        except Exception:
+            args.engine = "host"
+        args.auto_engine = True
+    else:
+        args.auto_engine = False
+
     opt = SearchOptions(
         min_prefix=args.seed_min_prefix,
         min_single_prefix=args.seed_min_single_prefix,
@@ -184,6 +197,7 @@ def cmd_search(args) -> int:
         in_memory=args.load_whole_seeds,
         output_seq=args.all,
         engine=args.engine,
+        wfa_engine=args.wfa,
         debug=args.debug,
         taxdump_dir=args.taxdump or None,
         genome2taxid_file=args.genome2taxid or None,
@@ -215,6 +229,7 @@ def cmd_search(args) -> int:
         # aborts via checkError, ref: util-cli.go:35-40)
         print(f"error: failed to load index {args.index}: {e}", file=sys.stderr)
         return 1
+    idx.auto_route = args.auto_engine
     if not args.quiet:
         print(f"index loaded in {time.time() - t0:.2f}s", file=sys.stderr)
 
@@ -384,8 +399,16 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("-a", "--all", action="store_true")
     ps.add_argument("--show-sseq-idx", action="store_true")
     ps.add_argument(
-        "--engine", choices=["host", "device"], default="host",
-        help="seed-matching engine: host bisection or the Pallas TPU kernel",
+        "--engine", choices=["host", "device", "auto"], default="host",
+        help="search engine: host bisection, the Pallas TPU kernels, or "
+        "auto (device when an accelerator is attached; window-sparse "
+        "batches still route phase 4 to the host)",
+    )
+    ps.add_argument(
+        "--wfa", choices=["host", "device"], default="host",
+        help="base-level aligner: host wavefronts or the batched "
+        "diagonal-parallel TPU WFA (bit-exact; effective with --engine "
+        "device on HSP-heavy workloads)",
     )
     ps.add_argument("--debug", action="store_true", help="per-phase timings")
     ps.add_argument("-J", "--max-query-conc", type=int, default=1)

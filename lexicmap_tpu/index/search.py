@@ -88,6 +88,7 @@ class SearchOptions:
     in_memory: bool = False
     output_seq: bool = False  # -a/--all
     engine: str = "host"  # "host" | "device" (Pallas seed matching)
+    wfa_engine: str = "host"  # "host" | "device" (batched diagonal-parallel WFA)
     debug: bool = False  # per-phase timings to stderr (ref: --debug logs)
 
     # TaxId filtering (ref: lib-index-search.go:93-98, search.go:232-239)
@@ -225,6 +226,14 @@ class IndexSearcher:
                 import sys as _sys
 
                 print(self.device_matcher.describe(), file=_sys.stderr)
+
+        # optional batched device WFA (bit-exact with the host aligner;
+        # ref: the per-HSP wfa.Align at lib-index-search.go:2218)
+        self.device_wfa = None
+        if self.opt.wfa_engine == "device":
+            from ..parallel.wfa_device import DeviceWFA
+
+            self.device_wfa = DeviceWFA()
 
         # TaxId filtering (ref: lib-index-search.go:316-416)
         self.filter_by_taxid = bool(self.opt.taxids or self.opt.negative_taxids)
@@ -676,7 +685,7 @@ class IndexSearcher:
         np.cumsum(t_len[:-1], out=t_off[1:])
         tbuf = np.concatenate(windows) if windows else np.zeros(0, dtype=np.uint8)
         copt = cpr.opt.chaining
-        rows = align_paths_native(
+        args = (
             qcodes, cpr.qk, cpr.qv, getattr(cpr, "qtab", None),
             getattr(cpr, "qtab_bits", 0),
             cpr.k, cpr.opt.min_prefix,
@@ -692,8 +701,38 @@ class IndexSearcher:
             np.asarray(trec.seq_sizes, dtype=np.int64), self.contig_interval, k,
             opt.extend_length2, self.total_bases, opt.max_evalue,
             opt.min_qcov_hsp, opt.min_identity,
-            pre_rows=pre_rows, pre_off=pre_off, pre_cnt=pre_cnt,
         )
+        kw = dict(pre_rows=pre_rows, pre_off=pre_off, pre_cnt=pre_cnt)
+        rows = None
+        if self.device_wfa is not None and pseudo is not None:
+            # two-phase WFA offload: collect the extended HSP windows, align
+            # them batched on the device (bit-exact with the host WFA; rare
+            # overflows fall back to host inside DeviceWFA), then finish with
+            # the op streams injected
+            spans = align_paths_native(*args, span_mode=1, **kw)
+            if spans is not None and spans.shape[0]:
+                pairs = []
+                for (q0, qn, t0, tn, pi) in spans:
+                    tc = windows[int(pi)]
+                    pairs.append((qcodes[q0 : q0 + qn], tc[t0 : t0 + tn]))
+                ops_lists = self.device_wfa.align_batch(pairs)
+                if all(o is not None for o in ops_lists):
+                    blobs = [
+                        b"".join(op.encode() * int(n) for (op, n) in opl)
+                        for opl in ops_lists
+                    ]
+                    inj_len = np.array([len(b) for b in blobs], dtype=np.int64)
+                    inj_off = np.zeros(len(blobs), dtype=np.int64)
+                    np.cumsum(inj_len[:-1], out=inj_off[1:])
+                    inj_ops = np.frombuffer(
+                        b"".join(blobs) or b"\0", dtype=np.uint8
+                    )
+                    rows = align_paths_native(
+                        *args, span_mode=2, inj_ops=inj_ops, inj_off=inj_off,
+                        inj_len=inj_len, **kw,
+                    )
+        if rows is None:
+            rows = align_paths_native(*args, **kw)
         if rows is None:
             return NotImplemented
         if rows.shape[0] == 0:
@@ -1248,7 +1287,12 @@ class IndexSearcher:
         if eng is None:
             from ..parallel.engine import DeviceSearchEngine
 
-            eng = DeviceSearchEngine(self)
+            # auto engine: window-sparse batches keep phase 4 on the host
+            # (the device dispatch overhead dominates below ~48 windows)
+            eng = DeviceSearchEngine(
+                self,
+                min_windows_for_device=48 if getattr(self, "auto_route", False) else 0,
+            )
             self._device_engine = eng
         # pipeline: host phase 5 (alignment) of batch N runs in a worker
         # thread while the device prepares batch N+1 (native align calls

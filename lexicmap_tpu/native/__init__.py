@@ -177,6 +177,8 @@ def get_lib():
         + [ctypes.c_int32] * 6                       # wfa params
         + [ctypes.c_void_p] * 3                      # pre_rows, pre_off, pre_cnt
         + [ctypes.c_void_p, ctypes.c_int64]          # out rows
+        + [ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64]  # span_mode, span_buf, span_cap
+        + [ctypes.c_void_p] * 3                      # inj_ops, inj_off, inj_len
     )
     lib.capture_native.restype = ctypes.c_int64
     lib.capture_native.argtypes = [
@@ -633,6 +635,7 @@ def align_paths_native(
     ext2_base, total_bases, max_evalue, min_qcov_hsp, min_identity,
     x=4, o=6, e=2, adaptive=True, min_wf_len=10, max_dist_diff=50,
     pre_rows=None, pre_off=None, pre_cnt=None,
+    span_mode=0, inj_ops=None, inj_off=None, inj_len=None,
 ):
     """Whole-genome phase-4 fusion: pseudo-align + contig assignment + dedup +
     extend + WFA + scoring for ALL chain windows of one genome in a single C
@@ -643,7 +646,13 @@ def align_paths_native(
     pre_rows/pre_off/pre_cnt: optional device pseudo-alignment results.  For
     path pi with pre_cnt[pi] >= 0, the pseudo-align stage is skipped and
     chains come from pre_rows[pre_off[pi] : pre_off[pi]+pre_cnt[pi]] (8 int64
-    per chain); pre_cnt[pi] == -1 keeps the host pseudo-align for that path."""
+    per chain); pre_cnt[pi] == -1 keeps the host pseudo-align for that path.
+
+    span_mode=1 collects each chain's extended WFA window instead of
+    aligning: returns an int64 [S, 5] array of (q_start, q_len, t_start,
+    t_len, path).  span_mode=2 consumes per-base op streams computed
+    elsewhere (device WFA): the i-th WFA call reads
+    inj_ops[inj_off[i] : inj_off[i]+inj_len[i]]."""
     lib = get_lib()
     if lib is None:
         return None
@@ -670,9 +679,20 @@ def align_paths_native(
         pre_rows_ptr = pre_rows.ctypes.data
         pre_off_ptr = pre_off.ctypes.data
         pre_cnt_ptr = pre_cnt.ctypes.data
+    inj_ops_ptr = inj_off_ptr = inj_len_ptr = 0
+    if span_mode == 2:
+        inj_ops = np.ascontiguousarray(inj_ops, dtype=np.uint8)
+        inj_off = i64(inj_off)
+        inj_len = i64(inj_len)
+        inj_ops_ptr = inj_ops.ctypes.data
+        inj_off_ptr = inj_off.ctypes.data
+        inj_len_ptr = inj_len.ctypes.data
     cap = 256
+    span_cap = 1024
     while True:
         rows = np.empty((cap, 18), dtype=np.float64)
+        span_buf = np.empty((span_cap, 5), dtype=np.int64) if span_mode == 1 \
+            else np.empty((1, 5), dtype=np.int64)
         n = lib.align_paths(
             qcodes.ctypes.data, int(qcodes.shape[0]),
             qk.ctypes.data, qv.ctypes.data, int(qk.shape[0]),
@@ -690,10 +710,15 @@ def align_paths_native(
             x, o, e, 1 if adaptive else 0, min_wf_len, max_dist_diff,
             pre_rows_ptr, pre_off_ptr, pre_cnt_ptr,
             rows.ctypes.data, cap,
+            int(span_mode), span_buf.ctypes.data, span_cap,
+            inj_ops_ptr, inj_off_ptr, inj_len_ptr,
         )
         if n == -1:
             cap *= 4
+            span_cap *= 4
             continue
         if n == -2:
             return None
+        if span_mode == 1:
+            return span_buf[:n]
         return rows[:n]

@@ -288,19 +288,15 @@ int64_t wfa_align(const uint8_t* q, int64_t n, const uint8_t* t, int64_t m,
 // stats[10]: [n_ops, align_len, matches, mismatches, gaps,
 //             qbegin(1-based), qend, tbegin(1-based), tend, raw_score];
 // align_len == 0 means no match run (empty trimmed region).
-int64_t wfa_align_stats(const uint8_t* q, int64_t n, const uint8_t* t, int64_t m,
-                        int32_t x, int32_t o, int32_t e,
-                        int32_t adaptive, int32_t min_wf_len, int32_t max_dist_diff,
-                        uint8_t* ops_out, int64_t ops_cap, int64_t* stats) {
-    int64_t w = wfa_align(q, n, t, m, x, o, e, adaptive, min_wf_len,
-                          max_dist_diff, ops_out, ops_cap);
+// trimmed-alignment stats from a per-base op stream (M/X/I/D); shared by the
+// host WFA and the injected device-WFA path of align_paths
+void ops_to_stats(const uint8_t* ops_out, int64_t w, int64_t* stats) {
     for (int i = 0; i < 10; ++i) stats[i] = 0;
-    if (w < 0) return w;
     stats[0] = w;
     int64_t first_m = -1, last_m = -1;
     for (int64_t i = 0; i < w; ++i)
         if (ops_out[i] == 'M') { if (first_m < 0) first_m = i; last_m = i; }
-    if (first_m < 0) return w;
+    if (first_m < 0) return;
     int64_t qpos = 0, tpos = 0, qpre = 0, tpre = 0, qend = 0, tend = 0;
     int64_t matches = 0, mism = 0, gaps = 0, score = 0;
     uint8_t prev = 0;
@@ -322,6 +318,19 @@ int64_t wfa_align_stats(const uint8_t* q, int64_t n, const uint8_t* t, int64_t m
     stats[5] = qpre + 1; stats[6] = qend;
     stats[7] = tpre + 1; stats[8] = tend;
     stats[9] = score;
+}
+
+int64_t wfa_align_stats(const uint8_t* q, int64_t n, const uint8_t* t, int64_t m,
+                        int32_t x, int32_t o, int32_t e,
+                        int32_t adaptive, int32_t min_wf_len, int32_t max_dist_diff,
+                        uint8_t* ops_out, int64_t ops_cap, int64_t* stats) {
+    int64_t w = wfa_align(q, n, t, m, x, o, e, adaptive, min_wf_len,
+                          max_dist_diff, ops_out, ops_cap);
+    if (w < 0) {
+        for (int i = 0; i < 10; ++i) stats[i] = 0;
+        return w;
+    }
+    ops_to_stats(ops_out, w, stats);
     return w;
 }
 
@@ -1673,10 +1682,23 @@ int64_t align_paths(
     // int64 per chain: n_anchors, naq, nat, matched, qb, qe, tb, te — the
     // exact output of chain2_backtrack) and compare/backtrack are skipped.
     const int64_t* pre_rows, const int64_t* pre_off, const int64_t* pre_cnt,
-    double* out_rows, int64_t row_cap) {
+    double* out_rows, int64_t row_cap,
+    // two-phase WFA offload (device WFA):
+    //   span_mode 0: normal (WFA inline, host wavefronts)
+    //   span_mode 1: collect — write each chain's extended WFA window
+    //     [start1, qn, start2, tn, path] into span_buf and skip WFA/scoring;
+    //     the function returns the span count (-1 if span_cap exceeded)
+    //   span_mode 2: consume — the i-th WFA call takes its per-base op
+    //     stream from inj_ops[inj_off[i] : +inj_len[i]] instead of running
+    //     the wavefronts (the caller computed them batched on the device;
+    //     iteration order is deterministic, so ordinals line up with mode 1)
+    int32_t span_mode,
+    int64_t* span_buf, int64_t span_cap,
+    const uint8_t* inj_ops, const int64_t* inj_off, const int64_t* inj_len) {
 
     int64_t n_rows = 0;
     int64_t group_id = 0;
+    int64_t span_n = 0;
     bool overflow = false, wfa_fail = false;
     std::set<DedupKey> dedup;
     // scratch
@@ -1742,15 +1764,31 @@ int64_t align_paths(
 
             g_prof[2] += now_s() - te0;
             int64_t qn = end1 - start1, tn = end2 - start2;
-            int64_t cap = 2 * (qn + tn) + 16;
-            ops.resize((size_t)cap);
+            if (span_mode == 1) {
+                if (span_n >= span_cap) { overflow = true; return; }
+                int64_t* sp = span_buf + span_n * 5;
+                sp[0] = start1; sp[1] = qn; sp[2] = start2; sp[3] = tn;
+                sp[4] = path_idx;
+                ++span_n;
+                continue;
+            }
             int64_t stats[10];
-            double tw0 = now_s();
-            int64_t w = wfa_align_stats(qcodes + start1, qn, tcodes + start2, tn,
-                                        x, o, e, adaptive, min_wf_len, max_dist_diff,
-                                        ops.data(), cap, stats);
-            g_prof[3] += now_s() - tw0;
-            if (w < 0) { wfa_fail = true; return; }
+            int64_t w;
+            if (span_mode == 2) {
+                const uint8_t* po = inj_ops + inj_off[span_n];
+                w = inj_len[span_n];
+                ++span_n;
+                ops_to_stats(po, w, stats);
+            } else {
+                int64_t cap = 2 * (qn + tn) + 16;
+                ops.resize((size_t)cap);
+                double tw0 = now_s();
+                w = wfa_align_stats(qcodes + start1, qn, tcodes + start2, tn,
+                                    x, o, e, adaptive, min_wf_len, max_dist_diff,
+                                    ops.data(), cap, stats);
+                g_prof[3] += now_s() - tw0;
+                if (w < 0) { wfa_fail = true; return; }
+            }
             if (stats[1] == 0) continue;  // empty trimmed region
             int64_t a_len = stats[1], a_matches = stats[2], a_gaps = stats[4];
             int64_t cg_qb = stats[5], cg_qe = stats[6];
@@ -1921,7 +1959,7 @@ int64_t align_paths(
     }
     if (wfa_fail) return -2;
     if (overflow) return -1;
-    return n_rows;
+    return span_mode == 1 ? span_n : n_rows;
 }
 
 }  // extern "C"

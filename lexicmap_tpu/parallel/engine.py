@@ -29,7 +29,13 @@ import numpy as np
 
 
 class DeviceSearchEngine:
-    def __init__(self, idx, mesh=None):
+    #: auto-routing: batches with fewer candidate windows than this run
+    #: phase 4 on the host (the fixed device dispatch cost ~22 ms through
+    #: this transport outweighs ~0.5 ms/window of host compare below it);
+    #: 0 = always use the device pseudo-aligner
+    min_windows_for_device = 0
+
+    def __init__(self, idx, mesh=None, min_windows_for_device=0):
         """mesh: optional jax.sharding.Mesh — runs phase 2a with the
         mask-sharded ShardedSeedMatcher and phase 4 with window chunks
         sharded over all mesh devices.  None = single chip (same code:
@@ -54,6 +60,7 @@ class DeviceSearchEngine:
             self.matcher = ShardedSeedMatcher(idx, mesh)
         else:
             self.matcher = idx.device_matcher
+        self.min_windows_for_device = min_windows_for_device
 
     # ------------------------------------------------------------------
     def search_batch(self, seqs: list[bytes]):
@@ -114,7 +121,10 @@ class DeviceSearchEngine:
                     windows.append((qpos, w, meta[0], meta[1]))
                     wmeta.append((i, hi, pp))
 
-        res = self.pseudo.run_batch(queries, windows) if windows else []
+        use_device = len(windows) >= max(self.min_windows_for_device, 1) \
+            if self.min_windows_for_device else bool(windows)
+        res = self.pseudo.run_batch(queries, windows) if use_device else \
+            [("host", None)] * len(windows)
         pseudo_maps: dict[int, dict[int, list]] = {}
         for (i, hi, pp), r in zip(wmeta, res):
             pm = pseudo_maps.setdefault(i, {})

@@ -382,21 +382,30 @@ class DeviceWFA:
 
     def __init__(self, mismatch=4, gap_open=6, gap_ext=2,
                  min_wf_len=10, max_dist_diff=50):
+        import threading
+
         self.x, self.o, self.e = mismatch, gap_open, gap_ext
         self.min_wf_len = min_wf_len
         self.max_dist_diff = max_dist_diff
-        self._fwd = {}
-        self._tb = {}
+        # (fwd, tb) published atomically per bucket: align_batch runs
+        # concurrently from the phase-4 worker threads
+        self._built = {}
+        self._build_lock = threading.Lock()
 
     def _fns(self, bucket):
-        N, M, S, W = bucket
-        if bucket not in self._fwd:
-            self._fwd[bucket] = build_wfa_step(
-                N, M, S, W, self.x, self.o, self.e,
-                self.min_wf_len, self.max_dist_diff,
-            )
-            self._tb[bucket] = build_wfa_traceback(S, W, S + 8, self.x, self.o, self.e)
-        return self._fwd[bucket], self._tb[bucket]
+        fns = self._built.get(bucket)
+        if fns is None:
+            with self._build_lock:
+                fns = self._built.get(bucket)
+                if fns is None:
+                    N, M, S, W = bucket
+                    fwd = build_wfa_step(
+                        N, M, S, W, self.x, self.o, self.e,
+                        self.min_wf_len, self.max_dist_diff,
+                    )
+                    tb = build_wfa_traceback(S, W, S + 8, self.x, self.o, self.e)
+                    fns = self._built[bucket] = (fwd, tb)
+        return fns
 
     def _bucket_for(self, n, m):
         for b in self.BUCKETS:

@@ -52,6 +52,30 @@ def test_device_engine_matches_host(db):
         assert r_host and r_host[0].genome_id.decode() == name
 
 
+def test_device_wfa_engine_matches_host(db):
+    """--engine device --wfa device: the two-phase WFA offload (span collect
+    -> batched device WFA -> op injection) reproduces the host rows exactly
+    (the device wavefronts are bit-exact, so stats/scores are identical)."""
+    out, seqs = db
+    host = IndexSearcher(out, SearchOptions(engine="host"))
+    dev = IndexSearcher(out, SearchOptions(engine="device", wfa_engine="device"))
+    assert dev.device_wfa is not None
+    rng = np.random.default_rng(7)
+    queries = []
+    for name in ["D0", "D1", "D2"]:
+        base = bytearray(seqs[name][20000:22500])
+        for _ in range(40):
+            p = int(rng.integers(0, len(base)))
+            base[p] = ord("ACGT"[int(rng.integers(0, 4))])
+        queries.append(bytes(base))
+    # chimera with an indel: two WFA windows with gaps
+    queries.append(seqs["D0"][1000:2200] + b"ACGT" * 3 + seqs["D2"][30000:31200])
+    r_host = [host.search_bytes(q) for q in queries]
+    r_dev = dev.search_many(queries)
+    for i, (a, b) in enumerate(zip(r_host, r_dev)):
+        assert rows_of(a) == rows_of(b), i
+
+
 def test_match_batch_equals_match(db):
     out, seqs = db
     import numpy as np
