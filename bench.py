@@ -51,10 +51,6 @@ def ensure_index():
 def main():
     ensure_index()
 
-    import __graft_entry__ as g
-
-    g._enable_compile_cache()
-
     from lexicmap_tpu.cli import format_hit_rows
     from lexicmap_tpu.index.search import IndexSearcher, SearchOptions
     from lexicmap_tpu.utils.fasta import read_fastx
@@ -68,10 +64,26 @@ def main():
     golden = [l.rstrip("\n") for l in open(GOLDEN)][1:]
     parity = rows == golden
 
+    # FORK THE WORKER POOL BEFORE ANY JAX INIT: fork-after-JAX can deadlock
+    # (JAX is multithreaded); the pool processes inherit only numpy + the
+    # mmap'd index.  One core is reserved for the device engine's host
+    # phases when a device shows up (decided below, after the fork).
+    import multiprocessing as mp
+
+    n_cpus = os.cpu_count() or 1
+    workers = max(n_cpus - 1, 1)
+    global _BENCH_IDX
+    _BENCH_IDX = idx
+    ctx = mp.get_context("fork")
+    pool = ctx.Pool(workers)
+
     # optional TPU device engine in the parent process (host fork workers
     # take the remaining cores); compile-cached kernels make warm-up cheap
     idx_dev = None
     try:
+        import __graft_entry__ as g
+
+        g._enable_compile_cache()
         import jax
 
         if jax.devices()[0].platform != "cpu":
@@ -83,21 +95,11 @@ def main():
         log(f"device engine unavailable ({type(e).__name__}: {e}); host-only")
         idx_dev = None
 
-    import multiprocessing as mp
-
-    workers = os.cpu_count() or 1
-    if idx_dev is not None and workers > 1:
-        workers -= 1  # the device engine's host phases keep one core busy
-    global _BENCH_IDX
-    _BENCH_IDX = idx
-    ctx = mp.get_context("fork")
-
-    # probe per-engine rates to split the stream proportionally
+    # probe per-engine rates (diagnostic only; the split is work-stealing)
     n_probe = 32
-    with ctx.Pool(workers) as pool:
-        t0 = time.time()
-        list(pool.imap_unordered(_bench_one, [rec.seq] * n_probe, chunksize=4))
-        host_rate = n_probe / (time.time() - t0)
+    t0 = time.time()
+    list(pool.imap_unordered(_bench_one, [rec.seq] * n_probe, chunksize=4))
+    host_rate = n_probe / (time.time() - t0)
     dev_rate = 0.0
     if idx_dev is not None:
         try:
@@ -118,7 +120,6 @@ def main():
     # trusting the probe.  best of N rounds over one long-lived pool; the
     # first round also warms the page cache.
     n_dev_total = 0
-    pool = ctx.Pool(workers)
 
     def one_round():
         nonlocal n_dev_total
@@ -157,25 +158,27 @@ def main():
             o.get()
         return (time.time() - t0) / n_queries
 
-    elapsed = float("inf")
+    per_round = []
     rounds = 0
     while rounds < 3:
         try:
-            elapsed = min(elapsed, one_round())
+            per_round.append(one_round())
         except Exception as e:
             if idx_dev is None:
                 raise
             # mid-run device failure: redo host-only so ONE json line prints
             log(f"device failed mid-run ({type(e).__name__}: {e}); host-only")
             idx_dev = None
-            elapsed = float("inf")
+            per_round = []
             rounds = 0
             n_dev_total = 0
             continue
         rounds += 1
     pool.close()
     pool.join()
+    elapsed = min(per_round)
     qpm = 60.0 / elapsed
+    qpm_rounds = [round(60.0 / e, 1) for e in per_round]
 
     print(
         json.dumps(
@@ -191,6 +194,8 @@ def main():
                     round(n_dev_total / (rounds * n_queries), 3) if idx_dev else 0.0
                 ),
                 "workers": workers,
+                "qpm_rounds": qpm_rounds,
+                "vs_baseline_worst": round(min(qpm_rounds) / BASELINE_QPM, 4),
             }
         )
     )
