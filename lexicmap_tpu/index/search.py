@@ -1303,16 +1303,36 @@ class IndexSearcher:
 
             fin = ThreadPoolExecutor(max_workers=1)
             self._finish_pool = fin
-        out: list[list[GenomeHit]] = []
+        # auto engine: long queries (> the device pseudo-aligner's QLEN_CAP)
+        # would fall back to the host per window anyway, and their large
+        # candidate sets make the device seed-match round-trips a net loss
+        # (measured: 530 vs 1966 reads/min on ~15 kb ONT reads) — route them
+        # to the plain host path up front
+        host_idx: list[int] = []
+        dev_idx: list[int] = list(range(len(seqs)))
+        if getattr(self, "auto_route", False):
+            from ..parallel.pseudo_device import QLEN_CAP
+
+            host_idx = [i for i, s in enumerate(seqs) if len(s) > QLEN_CAP]
+            dev_idx = [i for i, s in enumerate(seqs) if len(s) <= QLEN_CAP]
+
+        out_map: dict[int, list[GenomeHit]] = {}
         fut = None
-        for o in range(0, len(seqs), 32):
-            prepared = eng.prepare_batch(seqs[o : o + 32])
+        fut_ids: list[int] = []
+        for o in range(0, len(dev_idx), 32):
+            ids = dev_idx[o : o + 32]
+            prepared = eng.prepare_batch([seqs[i] for i in ids])
             if fut is not None:
-                out.extend(fut.result())
+                for i, r in zip(fut_ids, fut.result()):
+                    out_map[i] = r
             fut = fin.submit(eng.finish_batch, prepared)
+            fut_ids = ids
+        for i in host_idx:
+            out_map[i] = self.search(seq_to_codes(seqs[i].upper()))
         if fut is not None:
-            out.extend(fut.result())
-        return out
+            for i, r in zip(fut_ids, fut.result()):
+                out_map[i] = r
+        return [out_map.get(i, []) for i in range(len(seqs))]
 
 
 def _find_contig(seq_sizes, interval, k, rc, t_begin, t_end, tb2, te2):
