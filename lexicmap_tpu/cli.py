@@ -63,6 +63,7 @@ def cmd_index(args) -> int:
         force=args.force,
         verbose=not args.quiet,
         threads=args.threads,
+        engine=args.engine,
     )
     if not args.quiet:
         # parameter echo (ref: index.go:454-495 verbose run summary)
@@ -389,6 +390,11 @@ def build_parser() -> argparse.ArgumentParser:
     pi.add_argument("-B", "--seq-name-filter", action="append", default=[])
     pi.add_argument("-G", "--big-genomes", default="")
     pi.add_argument("--force", action="store_true")
+    pi.add_argument(
+        "--engine", choices=["host", "device"], default="host",
+        help="capture engine: host trie co-descent or the TPU sort-join "
+        "capture (bit-exact; desert filling stays host-side)",
+    )
     pi.set_defaults(func=cmd_index)
 
     ps = sub.add_parser("search", help="search query sequences against an index")

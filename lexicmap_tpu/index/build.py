@@ -82,6 +82,10 @@ class BuildOptions:
     force: bool = False
     verbose: bool = False
     threads: int = 0  # 0 -> all CPUs
+    # capture engine: "host" = native C++ trie co-descent; "device" = the
+    # TPU sort-join capture (parallel/build_device.py), bit-exact, run
+    # in-process (no fork workers: the device serializes capture anyway)
+    engine: str = "host"
 
     @property
     def desert_seed_pos_range(self) -> int:
@@ -227,9 +231,13 @@ def seed_genome(
     exclude = None
     if regions:
         exclude = skip_mask_from_regions(scodes.shape[0], k, regions)
-    native = capture_native_call(
-        fwd, rc, exclude, mask_set.masks, k, mask_set.distinct_prefix_len, False
-    )
+    native = None
+    if opt.engine == "device":
+        native = _device_capture(mask_set).capture(scodes, exclude)
+    if native is None:
+        native = capture_native_call(
+            fwd, rc, exclude, mask_set.masks, k, mask_set.distinct_prefix_len, False
+        )
     if native is not None:
         kmers_out, counts, pos_flat = native
         offsets = np.zeros(mask_set.m + 1, dtype=np.int64)
@@ -597,6 +605,19 @@ def _seed_positions_with_flags(
     return out.astype(np.uint32)
 
 
+# lazy per-mask-set device capture engine (build --engine device)
+_DEVICE_CAPTURE = None
+
+
+def _device_capture(mask_set):
+    global _DEVICE_CAPTURE
+    if _DEVICE_CAPTURE is None or _DEVICE_CAPTURE.ms is not mask_set:
+        from ..parallel.build_device import DeviceCaptureEngine
+
+        _DEVICE_CAPTURE = DeviceCaptureEngine(mask_set)
+    return _DEVICE_CAPTURE
+
+
 # worker-pool state inherited across fork() for parallel genome seeding
 _SEED_CTX = None
 
@@ -618,6 +639,8 @@ def _iter_seeded_genomes(mask_set, batch, files, opt, skipped):
     (the analog of the reference's stage-1 goroutines,
     ref: lib-index-build.go:929-1491)."""
     n_workers = min(os.cpu_count() or 1, opt.threads if opt.threads > 0 else 64)
+    if opt.engine == "device":
+        n_workers = 1  # device capture runs in-process (JAX cannot fork)
     items = [(path, batch * opt.batch_size + fi) for fi, path in enumerate(files)]
     if n_workers <= 1 or len(files) <= 1:
         for path, file_idx in items:
