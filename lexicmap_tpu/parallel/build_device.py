@@ -36,6 +36,11 @@ import numpy as np
 SLAB = 1 << 22  # k-mer positions per device slab (4.19 Mb)
 C_TOTAL = 1 << 16  # compacted winner-position lanes per slab
 INV32 = np.uint32(0xFFFFFFFF)
+# left margin per slab: the rc shift-compose chains read acc values up to 15
+# lanes BELOW the position (and rlo another 16 via rhi[i-16]), so positions
+# in the first 31 lanes of a slab would read A-padding; every slab therefore
+# carries 32 lead bases and validity starts at lane EDGE
+EDGE = 32
 
 
 def _get_jnp():
@@ -123,13 +128,20 @@ def build_capture_fn(k: int, prefix_len: int, m_pad: int):
 
         pos = jnp.arange(L, dtype=jnp.uint32)
         # unpack exclusion bits elementwise (no gather: TPUs hate gathers);
-        # bit j of word w = position 32w + j
+        # bit j of word w = slab position 32w + j = lane EDGE + 32w + j
         bitpos = jnp.arange(32, dtype=jnp.uint32)[None, :]
         exbits = ((excl[:, None] >> bitpos) & jnp.uint32(1)).reshape(-1)
         exbits = jnp.concatenate(
+            [jnp.zeros(EDGE, jnp.uint32), exbits]
+        )
+        exbits = jnp.concatenate(
             [exbits, jnp.zeros(L - exbits.shape[0], jnp.uint32)]
         ) if exbits.shape[0] < L else exbits[:L]
-        valid = (pos < nk.astype(jnp.uint32)) & (exbits == 0)
+        valid = (
+            (pos >= jnp.uint32(EDGE))
+            & (pos < jnp.uint32(EDGE) + nk.astype(jnp.uint32))
+            & (exbits == 0)
+        )
 
         # ---- union records ----
         mk = jnp.where(mask_valid, mask_hi >> P_SHIFT, INV32)
@@ -251,11 +263,12 @@ class DeviceCaptureEngine:
 
         for s0 in range(0, nk_total, SLAB):
             ns = min(SLAB, nk_total - s0)
-            # slab codes: SLAB + k - 1 bases, A-padded, 16/lane packed
-            span = np.zeros(SLAB + 32, dtype=np.uint8)
+            # slab codes: EDGE lead bases + SLAB + k - 1 bases, A-padded
+            span = np.zeros(EDGE + SLAB + 32, dtype=np.uint8)
+            lead = min(EDGE, s0)
             avail = min(SLAB + k - 1, L - s0)
-            span[:avail] = codes[s0 : s0 + avail]
-            packed = np.zeros((SLAB + 32) // 16, dtype=np.uint32)
+            span[EDGE - lead : EDGE + avail] = codes[s0 - lead : s0 + avail]
+            packed = np.zeros((EDGE + SLAB + 32) // 16, dtype=np.uint32)
             for j in range(16):
                 packed |= span[j::16].astype(np.uint32) << np.uint32(2 * j)
             exw = np.zeros(SLAB // 32, dtype=np.uint32)
@@ -264,7 +277,7 @@ class DeviceCaptureEngine:
                 hi_ = min(ns, exclude.shape[0] - s0)
                 if hi_ > 0:
                     ex[:hi_] = exclude[s0 : s0 + hi_]
-                for j in range(32):  # bit j of word w = position 32w + j
+                for j in range(32):  # bit j of word w = slab position 32w + j
                     exw |= ex[j::32].astype(np.uint32) << np.uint32(j)
             ck, c_kh, c_kl, c_aux, n_out = jax.device_get(
                 self._fn(packed, np.int32(ns), exw, *self._margs)
@@ -272,7 +285,6 @@ class DeviceCaptureEngine:
             if int(n_out) > C_TOTAL:
                 return None  # overflow: caller uses the host capture
             n = int(n_out)
-            lo_w_shift = np.uint64(2 * (16 - (k - 16)))
             for i in range(n):
                 mi = int(ck[i])
                 if mi >= self.m:
@@ -280,7 +292,7 @@ class DeviceCaptureEngine:
                 kmer = (np.uint64(c_kh[i]) << np.uint64(2 * k - 32)) | (
                     np.uint64(c_kl[i]) >> np.uint64(32 - 2 * (k - 16))
                 )
-                gpos = s0 + (int(c_aux[i]) >> 1)
+                gpos = s0 + (int(c_aux[i]) >> 1) - EDGE
                 loc = (gpos << 1) | (int(c_aux[i]) & 1)
                 cur = per_mask.get(mi)
                 if cur is None:

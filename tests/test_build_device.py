@@ -47,6 +47,28 @@ def test_random_genome(ms):
     _check(ms, codes)
 
 
+def test_slab_edge_positions():
+    """rc shift-compose reads lanes below the position; the EDGE margin must
+    make every slab-relative position exact — including genome position 0
+    and the first positions of later slabs (the round-3 demo-build bug was
+    an A-padded rc tail at slab position 19)."""
+    from lexicmap_tpu.parallel import build_device
+
+    old = build_device.SLAB
+    build_device.SLAB = 1 << 14
+    try:
+        ms2 = MaskSet.generate(31, 64, 1)
+        rng = np.random.default_rng(35)
+        codes = rng.integers(0, 4, size=3 * (1 << 14) + 777, dtype=np.uint8)
+        # plant strong winners ON the slab boundaries (both strands read
+        # across them)
+        for s in (1 << 14, 2 << 14):
+            codes[s - 15 : s + 16] = rng.integers(0, 4, size=31)
+        _check(ms2, codes)
+    finally:
+        build_device.SLAB = old
+
+
 def test_with_exclusions_and_repeats(ms):
     rng = np.random.default_rng(32)
     codes = rng.integers(0, 4, size=120_000, dtype=np.uint8)
