@@ -530,17 +530,22 @@ def _emit_postings(
     n0 = mask_ids.shape[0]
     acc.add(mask_ids, kmers, fwd_vals, base + np.arange(n0))
 
-    # forward extras
+    # forward extras.  NOTE: the --max-kmer-freq filter applies to the
+    # FORWARD extras only — the reference's reversed pass iterates the raw
+    # extra list without the frequency counter (ref: lib-index-build.go:
+    # 737-750 vs 845-888), so the reversed dispatch below must use the
+    # UNFILTERED extras.
     if extras:
         e_masks = np.array([e[0] for e in extras], dtype=np.int64)
         e_kmers = np.array([e[1] for e in extras], dtype=np.uint64)
         e_locs = np.array([e[2] for e in extras], dtype=np.uint64)
+        f_masks, f_kmers, f_locs = e_masks, e_kmers, e_locs
         if max_kmer_freq > 0:
             keep = _filter_kmer_freq(e_masks, e_kmers, max_kmer_freq)
-            e_masks, e_kmers, e_locs = e_masks[keep], e_kmers[keep], e_locs[keep]
-        e_vals = idx_shift | ((e_locs << np.uint64(1)) & np.uint64(MASK_NONE_IDX))
-        n1 = e_masks.shape[0]
-        acc.add(e_masks, e_kmers, e_vals, base + (np.int64(1) << 32) + np.arange(n1))
+            f_masks, f_kmers, f_locs = e_masks[keep], e_kmers[keep], e_locs[keep]
+        e_vals = idx_shift | ((f_locs << np.uint64(1)) & np.uint64(MASK_NONE_IDX))
+        n1 = f_masks.shape[0]
+        acc.add(f_masks, f_kmers, e_vals, base + (np.int64(1) << 32) + np.arange(n1))
     else:
         e_masks = np.empty(0, dtype=np.int64)
         e_kmers = np.empty(0, dtype=np.uint64)
