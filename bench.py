@@ -70,8 +70,12 @@ def main():
     # phases when a device shows up (decided below, after the fork).
     import multiprocessing as mp
 
+    # all cores for host workers: the device engine's host phases overlap
+    # with device dispatches, so reserving a full core for it wastes more
+    # than the oversubscription costs (measured: host pool x2 = 1650 q/min
+    # vs x1 = 830 on this 2-core VM; the work-stealing split adapts)
     n_cpus = os.cpu_count() or 1
-    workers = max(n_cpus - 1, 1)
+    workers = n_cpus
     global _BENCH_IDX
     _BENCH_IDX = idx
     ctx = mp.get_context("fork")
@@ -121,48 +125,80 @@ def main():
     # first round also warms the page cache.
     n_dev_total = 0
 
+    import threading
+
     def one_round():
         nonlocal n_dev_total
         t0 = time.time()
-        remaining = n_queries
+        state = {"remaining": n_queries}
+        lock = threading.Lock()
         outstanding = []
 
-        def submit_host(c):
-            nonlocal remaining
-            c = min(c, remaining)
-            if c > 0:
-                outstanding.append(
-                    pool.map_async(_bench_one, [rec.seq] * c, chunksize=c)
-                )
-                remaining -= c
+        def take(c):
+            with lock:
+                c = min(c, state["remaining"])
+                state["remaining"] -= c
+                return c
 
-        submit_host(8)
-        submit_host(8)
-        while remaining >= 32 and idx_dev is not None:
-            b = 64 if remaining >= 64 + 16 else 32
-            remaining -= b
-            idx_dev.search_many([rec.seq] * b)
-            n_dev_total += b
-            still = []
-            for o in outstanding:
-                if o.ready():
-                    o.get()  # re-raise worker exceptions instead of dropping
-                else:
-                    still.append(o)
-            outstanding[:] = still
-            while sum(not o.ready() for o in outstanding) < 2 and remaining > 0:
-                submit_host(8)
-        while remaining > 0:
-            submit_host(8)
+        feed_err = []
+
+        def feeder():
+            # keep the host pool saturated with small chunks; the device
+            # steals from the same budget in the main thread
+            try:
+                while True:
+                    done = [o for o in outstanding if o.ready()]
+                    for o in done:
+                        o.get()  # re-raise worker exceptions
+                        outstanding.remove(o)
+                    if len(outstanding) < 2 * workers:
+                        c = take(8)
+                        if c == 0:
+                            if not outstanding:
+                                return
+                            time.sleep(0.002)
+                            continue
+                        outstanding.append(
+                            pool.map_async(_bench_one, [rec.seq] * c, chunksize=c)
+                        )
+                    else:
+                        time.sleep(0.002)
+            except Exception as e:  # surfaced in the main thread below
+                feed_err.append(e)
+
+        ft = threading.Thread(target=feeder)
+        ft.start()
+        try:
+            while idx_dev is not None:
+                # tail guard: leave the last stretch to the host workers so
+                # an occasional tunnel-stalled device dispatch cannot block
+                # the round's tail
+                with lock:
+                    if state["remaining"] <= n_queries // 4:
+                        break
+                b = take(32)
+                if b == 0:
+                    break
+                idx_dev.search_many([rec.seq] * b)
+                n_dev_total += b
+        finally:
+            ft.join()
+        if feed_err:
+            raise feed_err[0]
         for o in outstanding:
-            o.get()
+            o.get()  # re-raise worker exceptions instead of dropping
         return (time.time() - t0) / n_queries
 
     per_round = []
-    rounds = 0
+    rounds = -1  # round -1 is a throwaway warm-up (page cache, engine JIT
+    # variants, tunnel ramp); rounds 0-2 are measured
+    rounds_run = 0
     while rounds < 3:
         try:
-            per_round.append(one_round())
+            el = one_round()
+            rounds_run += 1
+            if rounds >= 0:
+                per_round.append(el)
         except Exception as e:
             if idx_dev is None:
                 raise
@@ -170,7 +206,8 @@ def main():
             log(f"device failed mid-run ({type(e).__name__}: {e}); host-only")
             idx_dev = None
             per_round = []
-            rounds = 0
+            rounds = -1
+            rounds_run = 0
             n_dev_total = 0
             continue
         rounds += 1
@@ -191,7 +228,7 @@ def main():
                 "seconds_per_query": round(elapsed, 3),
                 "engine": ("tpu_device+host" if idx_dev is not None else "host"),
                 "device_query_share": (
-                    round(n_dev_total / (rounds * n_queries), 3) if idx_dev else 0.0
+                    round(n_dev_total / (rounds_run * n_queries), 3) if idx_dev else 0.0
                 ),
                 "workers": workers,
                 "qpm_rounds": qpm_rounds,
