@@ -414,6 +414,22 @@ def _plot_seed_distances(plot_dir, gid, pos, ext=".png"):
     fig.savefig(os.path.join(plot_dir, f"{gid}{ext}"), dpi=100)
     plt.close(fig)
 
+    # sliding-window seed counts (ref: seed-pos.go --slid-window 500
+    # --slid-step 200 -> <gid>.seed_number.png)
+    win, step = 500, 200
+    up = np.sort(np.unique(pos))
+    if up.shape[0]:
+        starts = np.arange(0, max(int(up[-1]) - win + 1, 1), step)
+        counts = np.searchsorted(up, starts + win) - np.searchsorted(up, starts)
+        fig, ax = plt.subplots(figsize=(6, 4))
+        ax.hist(counts, bins=40, color="#4477aa")
+        ax.set_xlabel(f"seeds per {win} bp window (step {step})")
+        ax.set_ylabel("count")
+        ax.set_title(gid)
+        fig.tight_layout()
+        fig.savefig(os.path.join(plot_dir, f"{gid}.seed_number{ext}"), dpi=100)
+        plt.close(fig)
+
 
 def cmd_utils_seed_pos(args) -> int:
     """Seed position distributions (ref: seed-pos.go; needs --save-seed-pos).
