@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .kernels import PAD_KMER, kmer_lcp_bases, searchsorted_rows
+from .kernels import kmer_lcp_bases, searchsorted_rows
 
 
 def make_mesh(n_devices: int | None = None, dp: int | None = None) -> Mesh:
@@ -98,46 +98,9 @@ def shard_arrays(mesh: Mesh, seed_kmers: np.ndarray, query_kmers: np.ndarray):
 
 # ---------------------------------------------------------------------------
 # Real-pipeline sharded seed matching: the actual index's per-mask entry
-# tables sharded over tp, query batches over dp.  Each shard locates its
-# local masks' >=p-prefix entry ranges; a tiled all_gather over tp rebuilds
-# the full per-query (n_hits, e0) rows, which feed the host phases 2b-4
-# unchanged — the collective replaces the reference's per-chunk goroutines +
-# channel collection (ref: lib-index-search.go:1316-1528).
-
-
-def make_sharded_seed_locate(mesh: Mesh, k: int = 31, min_prefix: int = 15):
-    """Jitted sharded locate step.
-
-    Inputs:
-      seed_kmers  [M, E] uint64 (row-sorted, PAD_KMER padded) — tp over M
-      query_kmers [B, M] uint64 (0 = no captured k-mer) — dp over B, tp over M
-    Outputs:
-      n_hits [B, M] int32, e0 [B, M] int32 — dp over B, replicated over tp.
-    """
-    suf = jnp.uint64((1 << (2 * (k - min_prefix))) - 1)
-
-    def step(seed_kmers, query_kmers):
-        def one_query(qk):
-            lb = jnp.bitwise_and(qk, jnp.bitwise_not(suf))
-            rb = jnp.bitwise_or(qk, suf)
-            e0 = searchsorted_rows(seed_kmers, lb, side_left=True)
-            e1 = searchsorted_rows(seed_kmers, rb, side_left=False)
-            has = qk != 0
-            return jnp.where(has, e1 - e0, 0), e0
-
-        nh, e0 = jax.vmap(one_query)(query_kmers)  # [Bl, Ml]
-        nh = jax.lax.all_gather(nh, "tp", axis=1, tiled=True)
-        e0 = jax.lax.all_gather(e0, "tp", axis=1, tiled=True)
-        return nh, e0
-
-    smapped = jax.shard_map(
-        step,
-        mesh=mesh,
-        in_specs=(P("tp", None), P("dp", "tp")),
-        out_specs=(P("dp", None), P("dp", None)),
-        check_vma=False,
-    )
-    return jax.jit(smapped)
+# tables sharded over tp, query batches over dp — the collective replaces
+# the reference's per-chunk goroutines + channel collection
+# (ref: lib-index-search.go:1316-1528).
 
 
 class ShardedSeedMatcher:
