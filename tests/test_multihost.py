@@ -1,0 +1,78 @@
+"""Multi-host workflow simulation: the reference's multi-index story is
+offline — independent indexes per host, per-host searches, then
+`utils merge-search-results` k-way merges the TSVs (ref:
+merge-search-results.go:38-52).  This test splits the demo genomes into two
+'host' indexes, searches q.gene on each, merges, and checks the merged
+result covers the full-index golden hits with identical alignment columns
+(coordinates/pident/cigar are index-independent; evalue/bitscore depend on
+each index's total bases, as in the reference, so they are excluded)."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+DEMO_DIR = "/root/reference/demo"
+GOLDEN = os.path.join(DEMO_DIR, "q.gene.fasta.lexicmap.tsv")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(GOLDEN), reason="reference demo not mounted"
+)
+
+
+def run_cli(*args):
+    r = subprocess.run(
+        [sys.executable, "-m", "lexicmap_tpu.cli", "--quiet", *args],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stderr
+    return r
+
+
+def test_two_host_split_merge(tmp_path):
+    import glob
+
+    refs = sorted(glob.glob(os.path.join(DEMO_DIR, "refs", "*.fa.gz")))
+    half = len(refs) // 2
+    tsvs = []
+    for hi, part in enumerate((refs[:half], refs[half:])):
+        db = str(tmp_path / f"host{hi}.lmt")
+        run_cli("index", "-O", db, "--force", *part)
+        out = str(tmp_path / f"host{hi}.tsv")
+        run_cli("search", "-d", db, os.path.join(DEMO_DIR, "q.gene.fasta"),
+                "-o", out)
+        tsvs.append(out)
+    merged = str(tmp_path / "merged.tsv")
+    run_cli("utils", "merge-search-results", *tsvs, "-o", merged)
+
+    def key_cols(path):
+        """(sgenome, sseqid, qstart, qend, sstart, send, sstr, pident, gaps)"""
+        rows = set()
+        with open(path) as fh:
+            next(fh)
+            for line in fh:
+                f = line.rstrip("\n").split("\t")
+                rows.add((f[3], f[4], f[10], f[11], f[12], f[13], f[14], f[9], f[15]))
+        return rows
+
+    golden = key_cols(GOLDEN)
+    got = key_cols(merged)
+    # the known desert-fill divergence adds rows for one genome; every
+    # golden alignment must be present in the merged two-host result
+    missing = golden - got
+    assert not missing, sorted(missing)[:5]
+    extra_genomes = {r[0] for r in got - golden}
+    assert extra_genomes <= {"GCF_002950215.1"}, extra_genomes
+
+    # merged ranking: hits renumbered per query, genomes ordered by score
+    with open(merged) as fh:
+        header = fh.readline()
+        assert header.startswith("query\t")
+        hsp_per_genome = {}
+        for line in fh:
+            f = line.split("\t")
+            hsp_per_genome.setdefault(f[3], []).append(int(f[7]))
+    for g, hsps in hsp_per_genome.items():
+        assert hsps == list(range(1, len(hsps) + 1)), (g, hsps)
