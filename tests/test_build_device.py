@@ -43,7 +43,7 @@ def _check(ms, codes, exclude=None):
 
 def test_random_genome(ms):
     rng = np.random.default_rng(31)
-    codes = rng.integers(0, 4, size=200_000, dtype=np.uint8)
+    codes = rng.integers(0, 4, size=80_000, dtype=np.uint8)
     _check(ms, codes)
 
 
@@ -71,12 +71,12 @@ def test_slab_edge_positions():
 
 def test_with_exclusions_and_repeats(ms):
     rng = np.random.default_rng(32)
-    codes = rng.integers(0, 4, size=120_000, dtype=np.uint8)
+    codes = rng.integers(0, 4, size=60_000, dtype=np.uint8)
     # repeated block: winner kmers with multiple positions
-    codes[60_000:61_000] = codes[10_000:11_000]
-    codes[90_000:90_500] = codes[10_000:10_500]
+    codes[30_000:31_000] = codes[10_000:11_000]
+    codes[45_000:45_500] = codes[10_000:10_500]
     exclude = np.zeros(codes.shape[0] - ms.k + 1, dtype=bool)
-    exclude[30_000:31_500] = True
+    exclude[20_000:21_500] = True
     exclude[:50] = True
     _check(ms, codes, exclude)
 
