@@ -9,6 +9,7 @@ same output formats.
 
 from __future__ import annotations
 
+import argparse
 import os
 import re
 import sys
@@ -209,7 +210,7 @@ def cmd_utils_subseq(args) -> int:
     out, own = _open_out(args.out_file)
     outb = out.buffer if hasattr(out, "buffer") else out
 
-    def extract(ref, seqid, start, end, strand):
+    def extract(ref, seqid, start, end, strand, meta=b""):
         # start/end are 1-based inclusive
         if ref not in name2code:
             raise KeyError(f"reference name not found: {ref}")
@@ -235,8 +236,9 @@ def cmd_utils_subseq(args) -> int:
         seq = codes_to_seq(codes)
         if strand == "-":
             seq = revcomp_seq(seq)
-        rid = f"{seqid or ref}:{s0 + 1}-{s0 + len(seq)}:{strand}".encode()
-        write_fasta(outb, rid, seq)
+        rid = f"{seqid or ref}:{s0 + 1}-{s0 + len(seq)}:{strand}".encode() + meta
+        width = getattr(args, "line_width", 60) or 1 << 30
+        write_fasta(outb, rid, seq, width=width)
 
     try:
         if args.tsv:
@@ -251,14 +253,34 @@ def cmd_utils_subseq(args) -> int:
                     continue
                 ref, seqid = row[3], row[4]
                 sstart, send, sstr = int(row[14]), int(row[15]), row[16]
+                # rich header with the hit's columns (ref: subseq.go search-
+                # result mode; see docs/content/tutorials/search.md:274)
+                meta = (
+                    f" query={row[0]} sgenome={ref} sseqid={seqid}"
+                    f" qcovGnm={row[5]} cls={row[6]} hsp={row[7]}"
+                    f" qcovHSP={row[8]} alenHSP={row[9]} pident={row[10]}"
+                    f" gaps={row[11]} qstart={row[12]} qend={row[13]}"
+                    f" sstart={row[14]} send={row[15]} sstr={row[16]}"
+                    f" slen={row[17]} evalue={row[18]} bitscore={row[19]}"
+                ).encode()
                 try:
-                    extract(ref, seqid, sstart, send, sstr)
+                    extract(ref, seqid, sstart, send, sstr, meta)
                 except KeyError as exc:
                     if not args.ignore_err:
                         raise
                     print(str(exc), file=sys.stderr)
         else:
-            extract(args.ref_name, args.seq_id, args.start, args.end, args.strand)
+            if not args.region:
+                print("flag -r/--region needed", file=sys.stderr)
+                return 1
+            parts = args.region.split(":")
+            if len(parts) != 2:
+                print(f"invalid region: {args.region}", file=sys.stderr)
+                return 1
+            start = int(parts[0])
+            end = int(parts[1]) if parts[1] not in ("", "-1") else 1 << 40
+            extract(args.ref_name, args.seq_id, start, end,
+                    "-" if args.revcom else "+")
     except KeyError as exc:
         print(str(exc), file=sys.stderr)
         return 1
@@ -700,14 +722,26 @@ def register_utils(sub) -> None:
     p.add_argument("-o", "--out-file", default="-")
     p.add_argument("-n", "--ref-name", default="")
     p.add_argument("-s", "--seq-id", default="")
-    p.add_argument("-r", "--start", type=int, default=1)
-    p.add_argument("-R", "--end", type=int, default=1 << 40)
-    p.add_argument("-p", "--strand", default="+", choices=["+", "-"])
-    p.add_argument("-t", "--tsv", default="", help="search-result TSV input")
+    p.add_argument(
+        "-r", "--region", default="",
+        help='region of the subsequence, 1-based "start:end" (ref: subseq.go -r)',
+    )
+    p.add_argument("-R", "--revcom", action="store_true",
+                   help="extract the negative strand")
+    p.add_argument(
+        "-f", "--search-result", "-t", "--tsv", dest="tsv", default="",
+        help='use a "lexicmap search" result TSV as input',
+    )
     p.add_argument("-H", "--no-header-row", action="store_true")
-    p.add_argument("-U", "--up-stream", type=int, default=0)
-    p.add_argument("-D", "--down-stream", type=int, default=0)
+    p.add_argument("-U", "--upstream", "--up-stream", dest="up_stream",
+                   type=int, default=0)
+    p.add_argument("-D", "--downstream", "--down-stream", dest="down_stream",
+                   type=int, default=0)
+    p.add_argument("-w", "--line-width", type=int, default=60)
     p.add_argument("-e", "--ignore-err", action="store_true")
+    # accepted for reference CLI compatibility; buffering is automatic here
+    p.add_argument("-b", "--buffer-size", default="20M", help=argparse.SUPPRESS)
+    p.add_argument("--max-open-files", type=int, default=1024, help=argparse.SUPPRESS)
     p.set_defaults(func=cmd_utils_subseq)
 
     p = usub.add_parser("merge-search-results", help="merge TSVs from multiple indexes")

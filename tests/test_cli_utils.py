@@ -77,15 +77,15 @@ def test_utils_subseq(db):
     out, genomes, _ = db
     res = run_cli(
         "utils", "subseq", "-d", out, "-n", "U000", "-s", "seq1",
-        "-r", "101", "-R", "150",
+        "-r", "101:150",
     )
     lines = res.stdout.strip().split("\n")
     assert lines[0] == ">seq1:101-150:+"
     assert "".join(lines[1:]).encode() == genomes["U000"][1][100:150]
-    # minus strand
+    # minus strand (reference flag surface: -R/--revcom)
     res2 = run_cli(
         "utils", "subseq", "-d", out, "-n", "U000", "-s", "seq1",
-        "-r", "101", "-R", "150", "-p", "-",
+        "-r", "101:150", "-R",
     )
     from lexicmap_tpu.utils.kmers import revcomp_seq
 

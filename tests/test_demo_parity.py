@@ -133,3 +133,40 @@ def test_concurrent_search_deterministic(tmp_path):
         )
         outs.append(o.read_bytes())
     assert outs[0] == outs[1] and outs[0]
+
+
+SECY_ORACLE = (
+    ">NZ_KB944588.1:228637-229935:+ query=lcl|NZ_CP064374.1_cds_WP_002359350.1_906"
+    " sgenome=GCF_000392875.1 sseqid=NZ_KB944588.1 qcovGnm=100.000 cls=1 hsp=1"
+    " qcovHSP=100.000 alenHSP=1299 pident=100.000 gaps=0 qstart=1 qend=1299"
+    " sstart=228637 send=229935 sstr=+ slen=274762 evalue=0.00e+00 bitscore=2343"
+)
+
+
+def test_secy_search_subseq_doc_oracle(tmp_path):
+    """bench SecY gene -> search --min-qcov-per-hsp 90 -> utils subseq -f:
+    the first record must match the reference docs' example byte-for-byte
+    (ref: docs/content/tutorials/search.md:274)."""
+    import subprocess
+    import sys
+
+    def run(*a):
+        r = subprocess.run(
+            [sys.executable, "-m", "lexicmap_tpu.cli", "--quiet", *a],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        assert r.returncode == 0, r.stderr
+        return r
+
+    tsv = str(tmp_path / "secy.tsv")
+    fa = str(tmp_path / "secy.fa")
+    run("search", "-d", DEMO_DB,
+        os.path.join(DEMO_DIR, "bench", "b.gene_E_faecalis_SecY.fasta"),
+        "-o", tsv, "--min-qcov-per-hsp", "90")
+    run("utils", "subseq", "-d", DEMO_DB, "-f", tsv, "-o", fa)
+    with open(fa) as fh:
+        lines = [fh.readline().rstrip("\n") for _ in range(3)]
+    assert lines[0] == SECY_ORACLE
+    assert lines[1] == "TTGTTCAAGCTATTAAAGAACGCCTTTAAAGTCAAAGACATTAGATCAAAAATCTTATTT"
+    assert lines[2] == "ACAGTTTTAATCTTGTTTGTATTTCGCCTAGGTGCGCACATTACTGTGCCCGGGGTGAAT"
