@@ -624,19 +624,57 @@ def cmd_utils_2blast(args) -> int:
 
 
 def cmd_utils_2sam(args) -> int:
-    """TSV (+-a columns) -> SAM with NM/AS tags; clipped regions as hard/soft
-    clips (ref: 2sam.go:38-53)."""
+    """TSV (+-a columns) -> SAM, byte-compatible with the reference's 2sam
+    (ref: 2sam.go:172-380): per-query grouping with 0x100 on non-first
+    records, SEQ only on the first record ('N'-padded to the clips),
+    MAPQ 60 / reference mapq formula / 0 for secondaries, TLEN = aligned
+    subject span, AS = alignment score derived back from the bitscore."""
+    import math
+
     out, own = _open_out(args.out_file)
-    out.write("@HD\tVN:1.6\tSO:unsorted\n")
+    out.write("@HD\tVN:1.6\tSO:unsorted\tGO:query\n")
     rows = list(_iter_tsv_rows(args.files, args.infile_list))
-    # @SQ headers from subject seq lengths
+    # @SQ headers from subject seq lengths (first-seen order)
     seen = {}
     for it in rows:
-        if len(it) >= 18:
+        if len(it) >= 18 and it[4] not in seen:
             seen[it[4]] = it[17]
     for sid, slen in seen.items():
         out.write(f"@SQ\tSN:{sid}\tLN:{slen}\n")
     out.write("@PG\tID:lexicmap-tpu\tPN:lexicmap-tpu\n")
+
+    lam, ln_k = 0.625, math.log(0.41)
+
+    def flush(query, aligns):
+        if not aligns:
+            return
+        if len(aligns) == 1:
+            aligns[0]["MAPQ"] = 60
+        else:
+            a = aligns[0]
+            # replicate the reference's runner-up selection exactly,
+            # including its index base (ref: 2sam.go:315-330 — maxI indexes
+            # `aligns`, but the loop enumerates aligns[2:] from 0)
+            max_score, max_i = aligns[1]["score"], 1
+            for i, b in enumerate(aligns[2:]):
+                b["FLAG"] |= 0x100
+                if b["score"] > max_score:
+                    max_score, max_i = b["score"], i
+            aligns[1]["FLAG"] |= 0x100
+            b = aligns[max_i]
+            mapq = 40 * (a["score"] - b["score"]) / a["score"] if a["score"] else 0.0
+            mapq *= a["qcovHSP"] / 100
+            mapq *= (a["pident"] / 100) * (1 - a["gaps"] / a["alenHSP"])
+            a["MAPQ"] = min(60, max(0, int(mapq)))
+        for r in aligns:
+            out.write(
+                f"{query}\t{r['FLAG']}\t{r['RNAME']}\t{r['POS']}\t{r['MAPQ']}\t"
+                f"{r['CIGAR']}\t*\t0\t{r['TLEN']}\t{r['SEQ']}\t*\t"
+                f"NM:i:{r['NM']}\tAS:i:{r['AS']}\n"
+            )
+
+    pre_query = None
+    aligns = []
     for it in rows:
         if len(it) < 24:
             print(
@@ -647,29 +685,33 @@ def cmd_utils_2sam(args) -> int:
         (query, qlen, hits, sgenome, sseqid, qcovGnm, cls, hsp, qcovHSP, alenHSP,
          pident, gaps, qstart, qend, sstart, send, sstr, slen, evalue, bitscore,
          cigar, qseq, sseq, align) = it[:24]
-        flag = 16 if sstr == "-" else 0
-        pos = min(int(sstart), int(send))
-        # clips
-        lead = int(qstart) - 1
-        trail = int(qlen) - int(qend)
-        if sstr == "-":
-            lead, trail = trail, lead
-        cig = ""
-        if lead:
-            cig += f"{lead}S"
-        cig += cigar.replace("X", "M") if args.no_x else cigar
-        if trail:
-            cig += f"{trail}S"
-        seq = qseq.replace("-", "")
+        if query != pre_query:
+            flush(pre_query, aligns)
+            aligns = []
+        first = query != pre_query
+        pre_query = query
+        _qlen, _qstart, _qend = int(qlen), int(qstart), int(qend)
+        algn_score = int((float(bitscore) * math.log(2) + ln_k) / lam)
+        cig = cigar if not args.no_x else cigar.replace("X", "M")
+        clip5 = f"{_qstart - 1}S" if _qstart > 1 else ""
+        clip3 = f"{_qlen - _qend}S" if _qend < _qlen else ""
+        cig = clip5 + cig + clip3
         nm = 0
-        # NM = mismatches + gaps, derive from cigar ops
         for num, op in re.findall(r"(\d+)([MIDX=])", cigar):
             if op in ("X", "I", "D"):
                 nm += int(num)
-        out.write(
-            f"{query}\t{flag}\t{sseqid}\t{pos}\t255\t{cig}\t*\t0\t0\t{seq}\t*"
-            f"\tNM:i:{nm}\tAS:i:{bitscore}\n"
+        seq = (
+            "N" * (_qstart - 1) + qseq.replace("-", "") + "N" * (_qlen - _qend)
+            if first else "*"
         )
+        aligns.append(dict(
+            FLAG=0x10 if sstr == "-" else 0,
+            RNAME=sseqid, POS=sstart, MAPQ=0, CIGAR=cig,
+            TLEN=int(send) - int(sstart) + 1, SEQ=seq, NM=nm, AS=algn_score,
+            score=algn_score, qcovHSP=float(qcovHSP), pident=float(pident),
+            gaps=float(gaps), alenHSP=float(alenHSP),
+        ))
+    flush(pre_query, aligns)
     if own:
         out.close()
     return 0

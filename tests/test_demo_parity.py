@@ -170,3 +170,46 @@ def test_secy_search_subseq_doc_oracle(tmp_path):
     assert lines[0] == SECY_ORACLE
     assert lines[1] == "TTGTTCAAGCTATTAAAGAACGCCTTTAAAGTCAAAGACATTAGATCAAAAATCTTATTT"
     assert lines[2] == "ACAGTTTTAATCTTGTTTGTATTTCGCCTAGGTGCGCACATTACTGTGCCCGGGGTGAAT"
+
+
+def test_2sam_doc_oracle(tmp_path):
+    """search q.gene -a -n 2 -> utils 2sam must reproduce the reference
+    docs' SAM example for the shared top genome's records byte-for-byte
+    (flags incl. 0x100 secondaries, MAPQ, TLEN, SEQ-on-first-only, NM/AS;
+    ref: docs/content/usage/utils/2sam.md)."""
+    import subprocess
+    import sys
+
+    def run(*a):
+        r = subprocess.run(
+            [sys.executable, "-m", "lexicmap_tpu.cli", "--quiet", *a],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        assert r.returncode == 0, r.stderr
+        return r
+
+    tsv = str(tmp_path / "qa.tsv")
+    run("search", "-d", DEMO_DB, os.path.join(DEMO_DIR, "q.gene.fasta"),
+        "-o", tsv, "-a", "-n", "2")
+    sam = run("utils", "2sam", tsv).stdout.splitlines()
+    assert sam[0] == "@HD\tVN:1.6\tSO:unsorted\tGO:query"
+    assert "@SQ\tSN:NZ_CP033092.2\tLN:4903501" in sam[:4]
+    body = [l for l in sam if l and not l.startswith("@")]
+    # doc oracle rows for the shared genome (FLAG, RNAME, POS, MAPQ, CIGAR,
+    # TLEN, NM, AS); SEQ only on the first record
+    oracle = [
+        (0, "NZ_CP033092.2", "458559", 0, "79M1X8M1X120M1X1332M"),
+        (256, "NZ_CP033092.2", "1285123", 0, "79M1X8M1X120M1X1332M"),
+        (272, "NZ_CP033092.2", "3780640", 0, "79M1X8M1X120M1X1332M"),
+        (272, "NZ_CP033092.2", "4551515", 0, "79M1X8M1X120M1X1332M"),
+        (272, "NZ_CP033092.2", "4591684", 0, "79M1X8M1X120M1X1332M"),
+        (272, "NZ_CP033092.2", "4726193", 0, "75M1X3M1X8M1X1453M"),
+        (272, "NZ_CP033092.2", "4844587", 0, "79M1X8M1X120M1X1332M"),
+    ]
+    for row, (flag, rname, pos, mapq, cig) in zip(body, oracle):
+        f = row.split("\t")
+        assert (int(f[1]), f[2], f[3], int(f[4]), f[5]) == (flag, rname, pos, mapq, cig)
+        assert f[8] == "1542" and f[11] == "NM:i:3" and f[12] == "AS:i:3067"
+    assert body[0].split("\t")[9].startswith("AAATTGAAGAGTTTGATCATGG")
+    assert all(r.split("\t")[9] == "*" for r in body[1:7])
