@@ -117,12 +117,11 @@ def main():
 
     n_queries = max(128, 16 * workers)
 
-    # work-stealing split: the device engine (parent) steals 64-query slices
-    # (64 = two 32-query engine batches, so the engine's internal host/device
-    # pipelining overlaps) while host workers drain 8-query chunks from the
-    # same budget — the split adapts to host-VM speed drift instead of
-    # trusting the probe.  best of N rounds over one long-lived pool; the
-    # first round also warms the page cache.
+    # work-stealing split: the device engine (parent thread) steals 32-query
+    # slices (one engine batch each) while a feeder thread keeps the host
+    # pool saturated with 8-query chunks from the same budget — the split
+    # adapts to host-VM speed drift instead of trusting the probe.  best of
+    # 3 measured rounds after a throwaway warm-up round.
     n_dev_total = 0
 
     import threading

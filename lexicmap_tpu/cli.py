@@ -169,13 +169,22 @@ def cmd_search(args) -> int:
 
     if args.engine == "auto":
         # device engine only pays for itself on a real accelerator; the
-        # window-sparse routing threshold is applied per batch in the engine
-        try:
-            import jax
+        # window-sparse routing threshold is applied per batch in the engine.
+        # Probe the platform in a SUBPROCESS: initializing JAX here would
+        # reintroduce the fork-after-JAX deadlock hazard when the -J worker
+        # pool forks below (JAX is multithreaded).
+        import subprocess
 
-            args.engine = "host" if jax.devices()[0].platform == "cpu" else "device"
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].platform)"],
+                capture_output=True, text=True, timeout=120,
+            )
+            plat = r.stdout.strip().splitlines()[-1] if r.returncode == 0 else "cpu"
         except Exception:
-            args.engine = "host"
+            plat = "cpu"
+        args.engine = "host" if plat == "cpu" else "device"
         args.auto_engine = True
     else:
         args.auto_engine = False

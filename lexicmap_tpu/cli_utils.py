@@ -273,12 +273,20 @@ def cmd_utils_subseq(args) -> int:
             if not args.region:
                 print("flag -r/--region needed", file=sys.stderr)
                 return 1
-            parts = args.region.split(":")
-            if len(parts) != 2:
+            # validate like the reference (ref: subseq.go:510-534)
+            m = re.fullmatch(r"(\d+):(\d+|-1)", args.region)
+            if not m:
                 print(f"invalid region: {args.region}", file=sys.stderr)
                 return 1
-            start = int(parts[0])
-            end = int(parts[1]) if parts[1] not in ("", "-1") else 1 << 40
+            start = int(m.group(1))
+            end = 1 << 40 if m.group(2) == "-1" else int(m.group(2))
+            if start <= 0 or end <= 0 and m.group(2) != "-1":
+                print(f"region positions must be >= 1: {args.region}",
+                      file=sys.stderr)
+                return 1
+            if end < start:
+                print(f"region start > end: {args.region}", file=sys.stderr)
+                return 1
             extract(args.ref_name, args.seq_id, start, end,
                     "-" if args.revcom else "+")
     except KeyError as exc:
@@ -417,7 +425,7 @@ def cmd_utils_remerge(args) -> int:
     return 0
 
 
-def _plot_seed_distances(plot_dir, gid, pos, ext=".png"):
+def _plot_seed_distances(plot_dir, gid, pos, ext=".png", glen=None):
     """Histogram of distances between adjacent seed positions
     (ref: seed-pos.go:50-75 -O/--plot-dir, gonum/plot -> matplotlib)."""
     import matplotlib
@@ -437,11 +445,14 @@ def _plot_seed_distances(plot_dir, gid, pos, ext=".png"):
     plt.close(fig)
 
     # sliding-window seed counts (ref: seed-pos.go --slid-window 500
-    # --slid-step 200 -> <gid>.seed_number.png)
+    # --slid-step 200 -> <gid>.seed_number.png); windows span the WHOLE
+    # genome (zero-count tail windows are the point of the plot) and count
+    # seed rows, not unique positions
     win, step = 500, 200
-    up = np.sort(np.unique(pos))
+    up = np.sort(pos)
     if up.shape[0]:
-        starts = np.arange(0, max(int(up[-1]) - win + 1, 1), step)
+        span = int(glen) if glen else int(up[-1]) + 1
+        starts = np.arange(0, max(span - win + 1, 1), step)
         counts = np.searchsorted(up, starts + win) - np.searchsorted(up, starts)
         fig, ax = plt.subplots(figsize=(6, 4))
         ax.hist(counts, bins=40, color="#4477aa")
@@ -485,7 +496,10 @@ def cmd_utils_seed_pos(args) -> int:
             strand = (vals >> np.uint32(1)) & 1
             flag = vals & 1
             if getattr(args, "plot_dir", ""):
-                _plot_seed_distances(args.plot_dir, gid, pos, args.plot_ext)
+                _plot_seed_distances(
+                    args.plot_dir, gid, pos, args.plot_ext,
+                    glen=int(st.gsizes[gi]),
+                )
             if args.histogram:
                 d = np.diff(np.unique(pos))
                 bins = np.minimum(d // 10 * 10, 200)

@@ -233,7 +233,10 @@ def seed_genome(
         exclude = skip_mask_from_regions(scodes.shape[0], k, regions)
     native = None
     if opt.engine == "device":
-        native = _device_capture(mask_set).capture(scodes, exclude)
+        try:
+            native = _device_capture(mask_set).capture(scodes, exclude)
+        except ValueError:
+            native = None  # mask set unsupported on device -> host capture
     if native is None:
         native = capture_native_call(
             fwd, rc, exclude, mask_set.masks, k, mask_set.distinct_prefix_len, False

@@ -1328,7 +1328,11 @@ class IndexSearcher:
             fut = fin.submit(eng.finish_batch, prepared)
             fut_ids = ids
         for i in host_idx:
-            out_map[i] = self.search(seq_to_codes(seqs[i].upper()))
+            # dev_hits_pre=False = "device declined": host bisection, no
+            # per-query device dispatches for the auto-routed long queries
+            out_map[i] = self.search(
+                seq_to_codes(seqs[i].upper()), dev_hits_pre=False
+            )
         if fut is not None:
             for i, r in zip(fut_ids, fut.result()):
                 out_map[i] = r

@@ -230,8 +230,11 @@ class DeviceCaptureEngine:
 
         self.ms = mask_set
         self.k = mask_set.k
-        if 2 * mask_set.distinct_prefix_len > 32:
-            raise ValueError("distinct prefix beyond the hi word")
+        # the union sort key is (bucket << 1) | tag in uint32, so the bucket
+        # id needs 2*p + 1 <= 32 bits (p == 16 would overflow and collide
+        # with the INV32 sentinel)
+        if 2 * mask_set.distinct_prefix_len >= 32:
+            raise ValueError("distinct prefix beyond the device key width")
         self.m = mask_set.m
         self.m_pad = ((self.m + 1023) // 1024) * 1024
         from .pallas_kernels import split_kmers_hi_lo

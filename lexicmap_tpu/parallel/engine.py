@@ -29,17 +29,16 @@ import numpy as np
 
 
 class DeviceSearchEngine:
-    #: auto-routing: batches with fewer candidate windows than this run
-    #: phase 4 on the host (the fixed device dispatch cost ~22 ms through
-    #: this transport outweighs ~0.5 ms/window of host compare below it);
-    #: 0 = always use the device pseudo-aligner
-    min_windows_for_device = 0
-
     def __init__(self, idx, mesh=None, min_windows_for_device=0):
         """mesh: optional jax.sharding.Mesh — runs phase 2a with the
         mask-sharded ShardedSeedMatcher and phase 4 with window chunks
         sharded over all mesh devices.  None = single chip (same code:
-        the mesh only changes array placement)."""
+        the mesh only changes array placement).
+
+        min_windows_for_device: batches with fewer candidate windows run
+        phase 4 on the host (the fixed device dispatch cost ~22 ms through
+        this transport outweighs ~0.5 ms/window of host compare below it);
+        0 = always use the device pseudo-aligner."""
         from ..ops.seqcompare import SeqComparator
         from .pseudo_device import DevicePseudoAligner
 
