@@ -224,3 +224,35 @@ def test_sharded_demo_index_golden_tsv():
     with open(os.path.join(DEMO_DIR, "q.gene.fasta.lexicmap.tsv")) as fh:
         golden = [line.rstrip("\n") for line in fh][1:]
     assert rows == golden
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(DEMO_DB, "info.json")),
+    reason="demo index not built",
+)
+def test_mesh_engine_multi_query_matches_host():
+    """The full mesh engine (sharded phase 2a + dp-sharded phase 4) on a
+    multi-query batch (16S + prophage + a synthetic mutant) must reproduce
+    the host searcher's rows exactly."""
+    from lexicmap_tpu.cli import format_hit_rows
+    from lexicmap_tpu.index.search import IndexSearcher, SearchOptions
+    from lexicmap_tpu.parallel.engine import DeviceSearchEngine
+    from lexicmap_tpu.parallel.sharded import make_mesh
+    from lexicmap_tpu.utils.fasta import read_fastx
+
+    idx = IndexSearcher(DEMO_DB, SearchOptions())
+    gene = next(iter(read_fastx(os.path.join(DEMO_DIR, "q.gene.fasta")))).seq
+    proph = next(iter(read_fastx(os.path.join(DEMO_DIR, "q.prophage.fasta")))).seq
+    mut = bytearray(gene)
+    rng = np.random.default_rng(3)
+    for p in rng.integers(0, len(mut), size=30):
+        mut[p] = ord("ACGT"[int(rng.integers(0, 4))])
+    queries = [bytes(gene), bytes(proph)[:2000], bytes(mut)]
+
+    eng = DeviceSearchEngine(idx, mesh=make_mesh(8))
+    mesh_res = eng.search_batch(queries)
+    for q, got in zip(queries, mesh_res):
+        want = idx.search_bytes(q)
+        rows_w = list(format_hit_rows("q", len(q), want))
+        rows_g = list(format_hit_rows("q", len(q), got))
+        assert rows_w == rows_g
