@@ -33,7 +33,11 @@ from __future__ import annotations
 
 import numpy as np
 
-SLAB = 1 << 22  # k-mer positions per device slab (4.19 Mb)
+import os as _os
+
+# k-mer positions per device slab (4.19 Mb); env-overridable so CPU-backend
+# tests can use small shapes (the CPU XLA compile of full-slab sorts is slow)
+SLAB = int(_os.environ.get("LEXICMAP_TPU_CAPTURE_SLAB", 1 << 22))
 C_TOTAL = 1 << 16  # compacted winner-position lanes per slab
 INV32 = np.uint32(0xFFFFFFFF)
 # left margin per slab: the rc shift-compose chains read acc values up to 15

@@ -111,3 +111,46 @@ def test_cross_contig_query_splits_hsps(tmp_path):
                 assert c.tend <= 2000
     # the union of the query regions covers nearly everything
     assert hits[0].aligned_fraction > 95
+
+
+def test_cli_engine_auto_and_device_build(tmp_path):
+    """CLI surface: `search --engine auto` resolves to host on CPU (subprocess
+    platform probe) and `index --engine device` builds byte-identically to the
+    host build (device capture on the interpret backend)."""
+    import os
+    import subprocess
+    import sys
+
+    rng = np.random.default_rng(41)
+    f = tmp_path / "g.fasta"
+    seq = bytes(rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=60000))
+    with open(f, "wb") as fh:
+        fh.write(b">c0\n" + seq + b"\n")
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               LEXICMAP_TPU_CAPTURE_SLAB=str(1 << 16))
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run(*a):
+        r = subprocess.run(
+            [sys.executable, "-m", "lexicmap_tpu.cli", "--quiet", *a],
+            capture_output=True, text=True, env=env, cwd=cwd,
+        )
+        assert r.returncode == 0, r.stderr
+        return r
+
+    db_h = str(tmp_path / "h.lmt")
+    db_d = str(tmp_path / "d.lmt")
+    run("index", "-O", db_h, "--force", "-m", "256", str(f))
+    run("index", "-O", db_d, "--force", "-m", "256", "--engine", "device", str(f))
+    r = subprocess.run(["diff", "-r", db_h, db_d], capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout
+
+    q = tmp_path / "q.fasta"
+    with open(q, "wb") as fh:
+        fh.write(b">q\n" + seq[10000:11500] + b"\n")
+    out = str(tmp_path / "r.tsv")
+    run("search", "-d", db_h, str(q), "-o", out, "--engine", "auto")
+    with open(out) as fh:
+        rows = fh.read().strip().splitlines()
+    assert len(rows) >= 2 and "\tg\t" in rows[1]
