@@ -230,6 +230,9 @@ class DeviceCaptureEngine:
     trie co-descent (combined across slabs on the host)."""
 
     def __init__(self, mask_set, interpret: bool | None = None):
+        from . import ensure_jax
+
+        ensure_jax()
         import jax
 
         self.ms = mask_set

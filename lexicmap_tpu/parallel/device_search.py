@@ -90,6 +90,9 @@ def pack_bucket_rows(per_mask, ids: np.ndarray, k: int, E: int, mb_pad: int):
 
 class DeviceSeedMatcher:
     def __init__(self, index_searcher, tile_m: int = 200, interpret: bool | None = None):
+        from . import ensure_jax
+
+        ensure_jax()
         import jax
         import jax.numpy as jnp
 

@@ -738,6 +738,9 @@ class DevicePseudoAligner:
         #: parallelism over the window axis; XLA partitions the vmapped
         #: probe/chain programs with no collectives).  None = single device.
         self.mesh = mesh
+        from . import ensure_jax
+
+        ensure_jax()
         self._probe_fn = None
         self._chain_fns = {}
         self.stats = {"windows": 0, "host_windows": 0, "host_queries": 0}

@@ -129,6 +129,9 @@ class ShardedSeedMatcher:
     H_SHARD = 1536
 
     def __init__(self, index_searcher, mesh: Mesh, interpret: bool | None = None):
+        from . import ensure_jax
+
+        ensure_jax()
         from .device_search import (
             MAX_E,
             bucket_edges_for,

@@ -384,6 +384,10 @@ class DeviceWFA:
                  min_wf_len=10, max_dist_diff=50):
         import threading
 
+        from . import ensure_jax
+
+        ensure_jax()
+
         self.x, self.o, self.e = mismatch, gap_open, gap_ext
         self.min_wf_len = min_wf_len
         self.max_dist_diff = max_dist_diff

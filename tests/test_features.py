@@ -128,6 +128,7 @@ def test_cli_engine_auto_and_device_build(tmp_path):
         fh.write(b">c0\n" + seq + b"\n")
 
     env = dict(os.environ, JAX_PLATFORMS="cpu",
+               LEXICMAP_TPU_JAX_PLATFORM="cpu",
                LEXICMAP_TPU_CAPTURE_SLAB=str(1 << 16))
     cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
