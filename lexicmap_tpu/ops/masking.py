@@ -23,8 +23,8 @@ Semantics implemented here (reconstructed; see masks.py docstring):
   still share a long SUFFIX with a stored seed.
 
 The host implementation below is a vectorized bit-trie descent over the sorted
-candidate k-mer array (NumPy).  The batched TPU capture kernel lives in
-parallel/kernels.py (mask_capture_scores).
+candidate k-mer array (NumPy).  The batched TPU capture lives in
+parallel/build_device.py (sort-join over the distinct-prefix axis).
 """
 
 from __future__ import annotations

@@ -23,6 +23,9 @@ from .kernels import kmer_lcp_bases, searchsorted_rows
 
 
 def make_mesh(n_devices: int | None = None, dp: int | None = None) -> Mesh:
+    from . import ensure_jax
+
+    ensure_jax()
     devs = jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
@@ -38,9 +41,10 @@ def make_mesh(n_devices: int | None = None, dp: int | None = None) -> Mesh:
 def seed_match_shard(seed_kmers, query_kmers, k: int, min_prefix: int):
     """Per-shard seed matching: seed_kmers [Ml, E], query_kmers [Bl, Ml].
 
+    Dtype-polymorphic (uint32 k-mers for k <= 16; uint64 needs x64 enabled).
     Returns per-query (n_hits [Bl, Ml], best_lcp [Bl, Ml]).
     """
-    suf = jnp.uint64((1 << (2 * (k - min_prefix))) - 1)
+    suf = query_kmers.dtype.type((1 << (2 * (k - min_prefix))) - 1)
 
     def one_query(qk):
         lb = jnp.bitwise_and(qk, jnp.bitwise_not(suf))

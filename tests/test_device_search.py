@@ -97,28 +97,6 @@ def test_match_batch_equals_match(db):
         assert hnh.tolist() == bnh.tolist()
 
 
-def test_mask_capture_scores_kernel(db):
-    """Device capture descent equals the host XOR-argmin winners."""
-    import numpy as np
-    import jax.numpy as jnp
-
-    from lexicmap_tpu.parallel.kernels import mask_capture_scores
-
-    out, seqs = db
-    idx = IndexSearcher(out, SearchOptions())
-    from lexicmap_tpu.ops.masking import candidate_kmers
-    from lexicmap_tpu.utils.kmers import seq_to_codes
-
-    codes = seq_to_codes(seqs["D2"][:4000])
-    allk, _ = candidate_kmers(codes, idx.k)
-    sk = np.sort(allk)
-    got = np.asarray(mask_capture_scores(jnp.asarray(sk), jnp.asarray(idx.mask_set.masks), k=idx.k))
-    # host winners
-    for mi in range(0, idx.mask_set.m, 37):
-        xs = sk ^ idx.mask_set.masks[mi]
-        assert got[mi] == sk[np.argmin(xs)]
-
-
 def test_search_many_matches_per_query(db):
     """search_many (batched device dispatch) equals per-query search."""
     out, seqs = db

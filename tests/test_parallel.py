@@ -16,16 +16,18 @@ def test_seed_match_kernel_matches_numpy():
     from lexicmap_tpu.parallel.sharded import seed_match_shard
 
     rng = np.random.default_rng(0)
-    k = 31
+    k = 16  # uint32 k-mers: the production kernels never enable x64
     M, E, B = 64, 32, 4
-    seeds = np.sort(rng.integers(0, 1 << 62, size=(M, E), dtype=np.uint64), axis=1)
+    seeds = np.sort(
+        rng.integers(1, 1 << (2 * k), size=(M, E), dtype=np.uint32), axis=1
+    )
     queries = seeds[np.arange(M), rng.integers(0, E, size=M)][None, :].repeat(B, axis=0)
-    n_hits, lcp = jax.jit(lambda s, q: seed_match_shard(s, q, k, 15))(seeds, queries)
+    p = 12
+    n_hits, lcp = jax.jit(lambda s, q: seed_match_shard(s, q, k, p))(seeds, queries)
     n_hits = np.asarray(n_hits)
     lcp = np.asarray(lcp)
     # brute force
-    p = 15
-    suf = np.uint64((1 << (2 * (k - p))) - 1)
+    suf = np.uint32((1 << (2 * (k - p))) - 1)
     for m in range(M):
         q = queries[0, m]
         lb, rb = q & ~suf, q | suf
@@ -84,28 +86,34 @@ def test_sharded_screening_real_index(tmp_path):
     build_index(db, files, BuildOptions(k=31, n_masks=256, chunks=2))
     idx = IndexSearcher(db, SearchOptions())
 
-    # pad per-mask entries into an [M, E] uint64 table
+    # pad per-mask entries into an [M, E] hi-word uint32 table (the
+    # production layout: a p <= 16 prefix range lives in the top 16 bases)
+    from lexicmap_tpu.parallel.pallas_kernels import split_kmers_hi_lo
+
     per_mask = []
     for rdr in idx.chunks:
         km = np.asarray(rdr.kmers)
         off = np.asarray(rdr.mask_offsets)
         for mi in range(rdr.mask_end - rdr.mask_begin):
-            per_mask.append(km[off[mi] : off[mi + 1]])
+            h, _ = split_kmers_hi_lo(km[off[mi] : off[mi + 1]], 31)
+            per_mask.append(np.sort(h))
     E = max(((max(len(a) for a in per_mask) + 7) // 8) * 8, 8)
-    table = np.full((256, E), np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+    table = np.full((256, E), np.uint32(0xFFFFFFFF), dtype=np.uint32)
     for i, a in enumerate(per_mask):
         table[i, : a.shape[0]] = a
 
-    # query batch: masked k-mers of windows from two genomes
+    # query batch: masked k-mers of windows from two genomes (hi words)
     queries = []
     for name in ["S0", "S2"]:
         q = seqs[name][4000:6000]
         kmers, _ = idx._mask_query(seq_to_codes(q))
-        queries.append(kmers)
+        h, _ = split_kmers_hi_lo(kmers, 31)
+        h[kmers == 0] = 0
+        queries.append(h)
     qarr = np.stack(queries * 4)  # batch of 8
 
     mesh = make_mesh(8)
-    step = make_sharded_search_step(mesh, k=31, min_prefix=15)
+    step = make_sharded_search_step(mesh, k=16, min_prefix=15)
     s_seeds, s_queries = shard_arrays(mesh, table, qarr)
     scores = np.asarray(step(s_seeds, s_queries))
     assert scores.shape == (8,)
@@ -114,11 +122,9 @@ def test_sharded_screening_real_index(tmp_path):
     assert scores[0] == scores[2] == scores[4] == scores[6]
     assert scores[1] == scores[3] == scores[5] == scores[7]
 
-    # cross-check one query against a host computation
-    suf = np.uint64((1 << (2 * (31 - 15))) - 1)
+    # cross-check one query against a host computation over the hi words
+    suf = np.uint32((1 << (2 * (16 - 15))) - 1)
     expect = 0.0
-    from lexicmap_tpu.utils.kmers import kmer_lcp
-
     for mi in range(256):
         q = queries[0][mi]
         if q == 0:
@@ -127,7 +133,9 @@ def test_sharded_screening_real_index(tmp_path):
         sel = (row >= (q & ~suf)) & (row <= (q | suf))
         n = int(sel.sum())
         if n:
-            lcp0 = int(kmer_lcp(row[np.argmax(sel)], np.uint64(q), 31))
+            first = int(row[np.argmax(sel)])
+            x = first ^ int(q)
+            lcp0 = 16 - ((x.bit_length() + 1) // 2) if x else 16
             expect += n * lcp0
     assert scores[0] == pytest.approx(expect)
 
