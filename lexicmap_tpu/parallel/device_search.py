@@ -12,11 +12,11 @@ tunnel; see scripts/tpu_microbench.py):
   - only the HI word of each entry k-mer is resident: a p <= 16-base
     prefix range lives entirely in the top 32 bits, and the host computes
     exact LCPs on the gathered entries anyway — half the HBM, half the h2d.
-  - hits are COMPACTED ON DEVICE: (mask_id, e0<<16|n_hits) pairs are
+  - hits are COMPACTED ON DEVICE: (mask_id, e0, n_hits) triples are
     sorted so real hits lead, and only the first H_CAP columns are
-    fetched (~1 MB instead of the dense [B, 20000] tables).  A query with
-    more than H_CAP hit masks (never seen in practice) falls back to host
-    seed matching wholesale, so results are unconditionally exact.
+    fetched (~1.5 MB instead of the dense [B, 20000] tables).  A query
+    with more than H_CAP hit masks (never seen in practice) falls back to
+    host seed matching wholesale, so results are unconditionally exact.
 
 Scalable layout: instead of padding every mask to the global max entry
 count (one repeat-heavy mask would inflate the whole table), masks are
@@ -37,7 +37,12 @@ import numpy as np
 
 from .pallas_kernels import PAD_HI, seed_locate_pallas, split_kmers_hi_lo
 
-MAX_E = 16384  # masks with more entries go to the host bisection path
+# masks with more entries go to the host bisection path.  2^17 keeps the
+# Pallas tile >= 8 rows within the VMEM budget; entry counts grow ~2x the
+# genome count, so this covers ~60k genomes per index shard (the compacted
+# hit payload carries e0 and n as separate i32 operands, so offsets are not
+# capped at 2^16)
+MAX_E = 1 << 17
 VMEM_BUDGET = 8 << 20  # bytes of VMEM a tile's uint32 blocks may use
 H_CAP = 6144  # max hit masks fetched per (query, bucket)
 INV_MASK = np.uint32(0xFFFFFFFF)
@@ -68,8 +73,13 @@ def bucket_edges_for(counts: np.ndarray) -> list[int]:
         e = max(((int(q) + 127) // 128) * 128, 128)
         if e > MAX_E:
             e = MAX_E
-        if not edges or e > edges[-1]:
-            edges.append(e)
+        # merge near-duplicate edges (uniform count distributions at large
+        # genome counts would otherwise create several buckets of almost
+        # identical E, each paying its own kernel compile)
+        if edges and e <= edges[-1] * 9 // 8:
+            edges[-1] = max(edges[-1], e)
+            continue
+        edges.append(e)
     return edges
 
 
@@ -163,13 +173,12 @@ class DeviceSeedMatcher:
                 )(qh_b, qv_b)  # [B, mb_pad] i32
                 hit = nh > 0
                 keys = jnp.where(hit, d_ids[None, :], jnp.uint32(0xFFFFFFFF))
-                payload = (
-                    e0.astype(jnp.uint32) << jnp.uint32(16)
-                ) | nh.astype(jnp.uint32)
-                keys, payload = jax.lax.sort(
-                    (keys, payload), dimension=1, num_keys=1, is_stable=False
+                # e0 and n ride as separate operands (e0 may exceed 2^16 for
+                # entry-heavy masks at large genome counts)
+                keys, e0s, nhs = jax.lax.sort(
+                    (keys, e0, nh), dimension=1, num_keys=1, is_stable=False
                 )
-                return keys[:, :H], payload[:, :H], jnp.sum(
+                return keys[:, :H], e0s[:, :H], nhs[:, :H], jnp.sum(
                     hit.astype(jnp.int32), axis=1
                 )
 
@@ -217,7 +226,7 @@ class DeviceSeedMatcher:
 
         per_query: list[list] = [[] for _ in range(B)]
         overflow = np.zeros(B, dtype=bool)
-        for (keys, payload, counts) in fetched:
+        for (keys, e0s, nhs, counts) in fetched:
             H = keys.shape[1]
             for b in range(B):
                 if counts[b] > H:
@@ -225,7 +234,7 @@ class DeviceSeedMatcher:
                     continue
                 n = int(counts[b])
                 if n:
-                    per_query[b].append((keys[b, :n], payload[b, :n]))
+                    per_query[b].append((keys[b, :n], e0s[b, :n], nhs[b, :n]))
 
         # host bisection for the few over-cap masks
         host_extra: list[list] = [[] for _ in range(B)]
@@ -247,11 +256,9 @@ class DeviceSeedMatcher:
                 out.append(None)
                 continue
             if per_query[b]:
-                keys = np.concatenate([k for k, _ in per_query[b]])
-                pay = np.concatenate([p for _, p in per_query[b]])
-                hm = keys.astype(np.int64)
-                e0 = (pay >> np.uint32(16)).astype(np.int64)
-                nh = (pay & np.uint32(0xFFFF)).astype(np.int64)
+                hm = np.concatenate([k for k, _, _ in per_query[b]]).astype(np.int64)
+                e0 = np.concatenate([e for _, e, _ in per_query[b]]).astype(np.int64)
+                nh = np.concatenate([n for _, _, n in per_query[b]]).astype(np.int64)
             else:
                 hm = np.empty(0, dtype=np.int64)
                 e0 = np.empty(0, dtype=np.int64)

@@ -223,24 +223,28 @@ class ShardedSeedMatcher:
             )(qh_l, qv_l)  # [Bl, mb_pad]
             hit = nh > 0
             keys = jnp.where(hit, gids_l[None, :], jnp.uint32(0xFFFFFFFF))
-            payload = (e0.astype(jnp.uint32) << jnp.uint32(16)) | nh.astype(jnp.uint32)
-            keys, payload = jax.lax.sort(
-                (keys, payload), dimension=1, num_keys=1, is_stable=False
+            # e0 and n ride as separate operands (e0 may exceed 2^16 for
+            # entry-heavy masks at large genome counts)
+            keys, e0s, nhs = jax.lax.sort(
+                (keys, e0, nh), dimension=1, num_keys=1, is_stable=False
             )
             keys = keys[:, :H][:, None, :]       # [Bl, 1, H]
-            payload = payload[:, :H][:, None, :]
+            e0s = e0s[:, :H][:, None, :]
+            nhs = nhs[:, :H][:, None, :]
             n = jnp.sum(hit.astype(jnp.int32), axis=1)[:, None]  # [Bl, 1]
             keys = jax.lax.all_gather(keys, "tp", axis=1, tiled=True)
-            payload = jax.lax.all_gather(payload, "tp", axis=1, tiled=True)
+            e0s = jax.lax.all_gather(e0s, "tp", axis=1, tiled=True)
+            nhs = jax.lax.all_gather(nhs, "tp", axis=1, tiled=True)
             n = jax.lax.all_gather(n, "tp", axis=1, tiled=True)
-            return keys, payload, n
+            return keys, e0s, nhs, n
 
         smapped = jax.shard_map(
             step,
             mesh=self.mesh,
             in_specs=(P("tp", None, None), P("tp", None), P("tp", None),
                       P("dp", "tp", None), P("dp", "tp", None)),
-            out_specs=(P("dp", None, None), P("dp", None, None), P("dp", None)),
+            out_specs=(P("dp", None, None), P("dp", None, None),
+                       P("dp", None, None), P("dp", None)),
             check_vma=False,
         )
         fn = jax.jit(smapped)
@@ -279,7 +283,7 @@ class ShardedSeedMatcher:
 
         per_query: list[list] = [[] for _ in range(B)]
         overflow = np.zeros(B, dtype=bool)
-        for bi, (keys, payload, ncnt) in enumerate(fetched):
+        for bi, (keys, e0s, nhs, ncnt) in enumerate(fetched):
             H = keys.shape[2]
             for b in range(B):
                 for s in range(self.tp):
@@ -287,7 +291,9 @@ class ShardedSeedMatcher:
                     if n > H:
                         overflow[b] = True
                     elif n:
-                        per_query[b].append((keys[b, s, :n], payload[b, s, :n]))
+                        per_query[b].append(
+                            (keys[b, s, :n], e0s[b, s, :n], nhs[b, s, :n])
+                        )
 
         # host bisection for the few over-cap masks
         host_extra: list[list] = [[] for _ in range(B)]
@@ -308,11 +314,9 @@ class ShardedSeedMatcher:
                 out.append(None)
                 continue
             if per_query[b]:
-                keys = np.concatenate([k for k, _ in per_query[b]])
-                pay = np.concatenate([p for _, p in per_query[b]])
-                hm = keys.astype(np.int64)
-                e0 = (pay >> np.uint32(16)).astype(np.int64)
-                nh = (pay & np.uint32(0xFFFF)).astype(np.int64)
+                hm = np.concatenate([k for k, _, _ in per_query[b]]).astype(np.int64)
+                e0 = np.concatenate([e for _, e, _ in per_query[b]]).astype(np.int64)
+                nh = np.concatenate([n for _, _, n in per_query[b]]).astype(np.int64)
             else:
                 hm = np.empty(0, dtype=np.int64)
                 e0 = np.empty(0, dtype=np.int64)
