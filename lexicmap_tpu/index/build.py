@@ -74,6 +74,12 @@ class BuildOptions:
     seed_max_desert: int = IndexDefaults.SEED_MAX_DESERT
     seed_in_desert_dist: int = IndexDefaults.SEED_IN_DESERT_DIST
     disable_desert_filling: bool = False
+    # Desert-fill window capture candidacy: when True, a k-mer is a
+    # candidate for mask m iff it shares m's DISTINCT prefix (the shortest
+    # prefix unique to m among all masks — 7 or 8 bases for the default 20k
+    # set; ref: lexichash MaskKnownDistinctPrefixes, lib-index-build.go:1196).
+    # When False, candidacy requires a full distinct_prefix_len match.
+    desert_capture_distinct: bool = False
     max_kmer_freq: int = IndexDefaults.MAX_KMER_FREQ
     soft_masking: bool = False
     save_seed_pos: bool = False
@@ -282,6 +288,7 @@ def seed_genome(
             fwd, rc, locs, interval_excluded, mask_set.masks, k,
             mask_set.distinct_prefix_len, opt.seed_max_desert, opt.seed_in_desert_dist,
             opt.desert_seed_pos_range,
+            flags=(2 if opt.desert_capture_distinct else 0),
         )
         if extras is None:
             extras = fill_deserts(mask_set, fwd, rc, locs, interval_excluded, opt)
@@ -316,7 +323,10 @@ class _DesertWindow:
     mask, so at most one mask can capture a given k-mer.
     """
 
-    def __init__(self, mask_set: MaskSet, wf: np.ndarray, wr: np.ndarray):
+    def __init__(
+        self, mask_set: MaskSet, wf: np.ndarray, wr: np.ndarray,
+        distinct: bool = False,
+    ):
         """wf/wr are ALL window k-mers including interval/gap positions: the
         reference's regional re-mask passes skipRegions=nil over the
         'A'-filled concatenation (ref: lib-index-build.go:924,1196), so
@@ -325,14 +335,46 @@ class _DesertWindow:
         self.ms = mask_set
         self.k = mask_set.k
         self.p = mask_set.distinct_prefix_len
+        self.distinct = distinct
         self.shift = np.uint64(2 * (self.k - self.p))
         self.sorted_w = np.sort(np.concatenate([wf, wr]))
         # sorted mask L-prefixes (no 4^L table: L can be large for
         # text-loaded mask sets)
         self.mask_prefs = (mask_set.masks >> self.shift).astype(np.uint64)
+        if distinct:
+            self.dlen = mask_set.distinct_prefix_lens()
+            self.dlen_values = sorted(set(self.dlen.tolist()))
+
+    def _wins_bucket(self, x: int, j: int, L: int) -> bool:
+        """Is x the XOR-argmin among window k-mers sharing mask j's L-prefix?"""
+        shift = np.uint64(2 * (self.k - L))
+        m = np.uint64(self.ms.masks[j])
+        lo_val = (m >> shift) << shift
+        hi_val = lo_val | ((np.uint64(1) << shift) - np.uint64(1))
+        lo = int(np.searchsorted(self.sorted_w, lo_val, side="left"))
+        hi = int(np.searchsorted(self.sorted_w, hi_val, side="right"))
+        bucket = self.sorted_w[lo:hi]
+        if bucket.shape[0] == 0:
+            return False
+        xors = bucket ^ m
+        return bool(bucket[int(np.argmin(xors))] == np.uint64(x))
 
     def capturing_mask(self, x: int) -> int:
         """Index of the (unique) mask capturing k-mer x here, or -1."""
+        if self.distinct:
+            # at most one mask's distinct prefix can match x
+            for L in self.dlen_values:
+                shift = np.uint64(2 * (self.k - L))
+                xp = np.uint64(x) >> shift
+                mp = self.ms.masks >> shift
+                mlo = int(np.searchsorted(mp, xp, side="left"))
+                mhi = int(np.searchsorted(mp, xp, side="right"))
+                for j in range(mhi - 1, mlo - 1, -1):
+                    if self.dlen[j] != L:
+                        continue
+                    if self._wins_bucket(x, j, L):
+                        return j
+            return -1
         pref = np.uint64(x >> (2 * (self.k - self.p)))
         mlo = int(np.searchsorted(self.mask_prefs, pref, side="left"))
         mhi = int(np.searchsorted(self.mask_prefs, pref, side="right"))
@@ -423,7 +465,7 @@ def fill_deserts(
 
         wf = fwd[start : start + nw]
         wr = rc[start : start + nw]
-        win = _DesertWindow(mask_set, wf, wr)
+        win = _DesertWindow(mask_set, wf, wr, distinct=opt.desert_capture_distinct)
 
         def try_pos(_j: int):
             """Returns (mask_idx, kmer, loc) or None."""

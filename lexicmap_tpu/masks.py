@@ -70,6 +70,22 @@ class MaskSet:
             self._distinct_prefix_len = min(max(max_lcp + 1, self.prefix_len), self.k)
         return self._distinct_prefix_len
 
+    def distinct_prefix_lens(self) -> np.ndarray:
+        """Per-mask shortest-unique-prefix lengths (int array, sorted order).
+
+        dlen[j] = 1 + max LCP of mask j with its sorted neighbors — the
+        shortest prefix distinguishing it from every other mask.  For the
+        default 20k set these are 7 (12768 masks) and 8 (7232 masks).
+        """
+        if not hasattr(self, "_distinct_prefix_lens"):
+            nb = np.zeros(self.m, dtype=np.int64)
+            if self.m > 1:
+                lcps = kmer_lcp(self.masks[1:], self.masks[:-1], self.k)
+                nb[1:] = np.maximum(nb[1:], lcps)
+                nb[:-1] = np.maximum(nb[:-1], lcps)
+            self._distinct_prefix_lens = np.minimum(nb + 1, self.k)
+        return self._distinct_prefix_lens
+
     # -- generation -------------------------------------------------------
 
     @classmethod

@@ -28,12 +28,15 @@ def _build() -> bool:
         src_mtime = os.path.getmtime(_SRC)
         if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= src_mtime:
             return True
+        # unique tmp name: concurrent builds (forked index workers) must
+        # not race on the rename
+        tmp = f"{_LIB}.{os.getpid()}.tmp"
         cmd = [
             "g++", "-O3", "-march=native", "-std=c++17",
-            "-shared", "-fPIC", _SRC, "-o", _LIB + ".tmp",
+            "-shared", "-fPIC", _SRC, "-o", tmp,
         ]
         subprocess.run(cmd, check=True, capture_output=True)
-        os.replace(_LIB + ".tmp", _LIB)
+        os.replace(tmp, _LIB)
         return True
     except Exception as exc:  # pragma: no cover
         print(f"lexicmap_tpu: native build failed ({exc}); using Python path",

@@ -780,6 +780,13 @@ int64_t fill_deserts_native(
     //   'A'-filled, ref: lib-index-build.go:924, so junction k-mers compete
     //   for capture there; they are only skipped at selection time via the
     //   interval tree).  0 = reference behavior.
+    // flags bit1: DISTINCT-prefix candidacy (lexichash
+    //   MaskKnownDistinctPrefixes semantics): a k-mer is a candidate for
+    //   mask m iff it shares m's *distinct* prefix — the shortest prefix
+    //   unique to m among all masks (7 or 8 bases for the default 20k set)
+    //   — and wins the XOR-argmin within that variable-length bucket.
+    //   Without the bit, candidacy uses the global prefix_len for every
+    //   mask (a k-mer then needs a full prefix_len match).
     if (nk <= 0) return 0;
     int64_t L = nk + k - 1;
     uint64_t ccc = 0, ggg = 0, ttt = 0;
@@ -796,6 +803,33 @@ int64_t fill_deserts_native(
     int shift = 2 * (k - prefix_len);
     std::vector<uint64_t> mask_prefs((size_t)m);
     for (int64_t j = 0; j < m; ++j) mask_prefs[(size_t)j] = masks[j] >> shift;
+
+    // distinct-prefix mode (flags bit1): per-mask shortest-unique prefix
+    // lengths, from LCPs with sorted neighbors (masks are sorted).
+    bool distinct_mode = (flags & 2) != 0;
+    std::vector<int32_t> dlen;
+    std::vector<int32_t> dlen_values;  // unique lengths, ascending
+    if (distinct_mode) {
+        dlen.resize((size_t)m);
+        auto lcp2 = [&](uint64_t a, uint64_t b) -> int32_t {
+            uint64_t v = a ^ b;
+            if (v == 0) return k;
+            int bl = 64 - __builtin_clzll(v);
+            return (int32_t)((2 * k - bl) / 2);
+        };
+        for (int64_t j = 0; j < m; ++j) {
+            int32_t nb = 0;
+            if (j > 0) nb = std::max(nb, lcp2(masks[j - 1], masks[j]));
+            if (j + 1 < m) nb = std::max(nb, lcp2(masks[j], masks[j + 1]));
+            int32_t L = nb + 1;
+            if (L > k) L = k;
+            dlen[(size_t)j] = L;
+        }
+        dlen_values.assign(dlen.begin(), dlen.end());
+        std::sort(dlen_values.begin(), dlen_values.end());
+        dlen_values.erase(std::unique(dlen_values.begin(), dlen_values.end()),
+                          dlen_values.end());
+    }
 
     int64_t n_out = 0;
     int64_t pre = 0;
@@ -832,26 +866,51 @@ int64_t fill_deserts_native(
         }
         std::sort(wk.begin(), wk.end());
 
+        // Is x the XOR-argmin for mask j among window k-mers sharing the
+        // length-L prefix of mask j?
+        auto wins_bucket = [&](uint64_t x, int64_t j, int L) -> bool {
+            int sh = 2 * (k - L);
+            uint64_t pref = masks[j] >> sh;
+            uint64_t lo_val = pref << sh;
+            uint64_t hi_val = lo_val | ((sh >= 64) ? ~0ULL : ((1ULL << sh) - 1));
+            int64_t bl = std::lower_bound(wk.begin(), wk.end(), lo_val) - wk.begin();
+            int64_t bh = std::upper_bound(wk.begin(), wk.end(), hi_val) - wk.begin();
+            uint64_t mk = masks[j];
+            uint64_t bestx = ~0ULL;
+            uint64_t winner = 0;
+            for (int64_t t = bl; t < bh; ++t) {
+                uint64_t xv = wk[(size_t)t] ^ mk;
+                if (xv < bestx) { bestx = xv; winner = wk[(size_t)t]; }
+            }
+            return winner == x;
+        };
+
         auto capturing_mask = [&](uint64_t x) -> int64_t {
+            if (distinct_mode) {
+                // at most one mask's distinct prefix can match x
+                for (int32_t L : dlen_values) {
+                    int sh = 2 * (k - L);
+                    uint64_t xp = x >> sh;
+                    // masks sorted by value => sorted by L-prefix
+                    auto cmp_lo = [&](uint64_t mv, uint64_t p) { return (mv >> sh) < p; };
+                    auto cmp_hi = [&](uint64_t p, uint64_t mv) { return p < (mv >> sh); };
+                    int64_t mlo = std::lower_bound(masks, masks + m, xp, cmp_lo) - masks;
+                    int64_t mhi = std::upper_bound(masks, masks + m, xp, cmp_hi) - masks;
+                    for (int64_t j = mhi - 1; j >= mlo; --j) {
+                        if (dlen[(size_t)j] != L) continue;
+                        if (wins_bucket(x, j, L)) return j;
+                    }
+                }
+                return -1;
+            }
             uint64_t pref = x >> shift;
             auto mr = std::equal_range(mask_prefs.begin(), mask_prefs.end(), pref);
             int64_t mlo = mr.first - mask_prefs.begin();
             int64_t mhi = mr.second - mask_prefs.begin();
             if (mhi <= mlo) return -1;
-            uint64_t lo_val = pref << shift;
-            uint64_t hi_val = lo_val | ((shift >= 64) ? ~0ULL : ((1ULL << shift) - 1));
-            int64_t bl = std::lower_bound(wk.begin(), wk.end(), lo_val) - wk.begin();
-            int64_t bh = std::upper_bound(wk.begin(), wk.end(), hi_val) - wk.begin();
             int64_t best = -1;
             for (int64_t j = mhi - 1; j >= mlo; --j) {  // highest mask wins
-                uint64_t mk = masks[j];
-                uint64_t bestx = ~0ULL;
-                uint64_t winner = 0;
-                for (int64_t t = bl; t < bh; ++t) {
-                    uint64_t xv = wk[(size_t)t] ^ mk;
-                    if (xv < bestx) { bestx = xv; winner = wk[(size_t)t]; }
-                }
-                if (winner == x) { best = j; break; }
+                if (wins_bucket(x, j, prefix_len)) { best = j; break; }
             }
             return best;
         };
