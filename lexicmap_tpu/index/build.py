@@ -80,6 +80,14 @@ class BuildOptions:
     # set; ref: lexichash MaskKnownDistinctPrefixes, lib-index-build.go:1196).
     # When False, candidacy requires a full distinct_prefix_len match.
     desert_capture_distinct: bool = False
+    # Desert-fill window capture candidacy: when True, candidacy routes by
+    # the mask GENERATION prefix length (7 for the default 20k set) and a
+    # k-mer is capturable iff it wins the XOR-argmin for ANY mask sharing
+    # that prefix (a duplicated-prefix pair both compete) — the lexichash
+    # candidate-mask routing (cf. MaskKmer, lib-index-build.go:813) applied
+    # to the window re-mask.  Mutually exclusive with
+    # desert_capture_distinct; experiment knob for golden parity.
+    desert_capture_group: bool = False
     max_kmer_freq: int = IndexDefaults.MAX_KMER_FREQ
     soft_masking: bool = False
     save_seed_pos: bool = False
@@ -288,7 +296,8 @@ def seed_genome(
             fwd, rc, locs, interval_excluded, mask_set.masks, k,
             mask_set.distinct_prefix_len, opt.seed_max_desert, opt.seed_in_desert_dist,
             opt.desert_seed_pos_range,
-            flags=(2 if opt.desert_capture_distinct else 0),
+            flags=(2 if opt.desert_capture_distinct else 0)
+            | (4 if opt.desert_capture_group else 0),
         )
         if extras is None:
             extras = fill_deserts(mask_set, fwd, rc, locs, interval_excluded, opt)
@@ -326,6 +335,7 @@ class _DesertWindow:
     def __init__(
         self, mask_set: MaskSet, wf: np.ndarray, wr: np.ndarray,
         distinct: bool = False,
+        group: bool = False,
     ):
         """wf/wr are ALL window k-mers including interval/gap positions: the
         reference's regional re-mask passes skipRegions=nil over the
@@ -336,6 +346,7 @@ class _DesertWindow:
         self.k = mask_set.k
         self.p = mask_set.distinct_prefix_len
         self.distinct = distinct
+        self.group = group
         self.shift = np.uint64(2 * (self.k - self.p))
         self.sorted_w = np.sort(np.concatenate([wf, wr]))
         # sorted mask L-prefixes (no 4^L table: L can be large for
@@ -344,6 +355,11 @@ class _DesertWindow:
         if distinct:
             self.dlen = mask_set.distinct_prefix_lens()
             self.dlen_values = sorted(set(self.dlen.tolist()))
+        if group:
+            gl = 1
+            while 4 ** (gl + 1) <= mask_set.m:
+                gl += 1
+            self.group_len = min(gl, self.p)
 
     def _wins_bucket(self, x: int, j: int, L: int) -> bool:
         """Is x the XOR-argmin among window k-mers sharing mask j's L-prefix?"""
@@ -374,6 +390,17 @@ class _DesertWindow:
                         continue
                     if self._wins_bucket(x, j, L):
                         return j
+            return -1
+        if self.group:
+            L = self.group_len
+            shift = np.uint64(2 * (self.k - L))
+            xp = np.uint64(x) >> shift
+            mp = self.ms.masks >> shift
+            mlo = int(np.searchsorted(mp, xp, side="left"))
+            mhi = int(np.searchsorted(mp, xp, side="right"))
+            for j in range(mhi - 1, mlo - 1, -1):  # highest mask wins
+                if self._wins_bucket(x, j, L):
+                    return j
             return -1
         pref = np.uint64(x >> (2 * (self.k - self.p)))
         mlo = int(np.searchsorted(self.mask_prefs, pref, side="left"))
@@ -465,7 +492,11 @@ def fill_deserts(
 
         wf = fwd[start : start + nw]
         wr = rc[start : start + nw]
-        win = _DesertWindow(mask_set, wf, wr, distinct=opt.desert_capture_distinct)
+        win = _DesertWindow(
+            mask_set, wf, wr,
+            distinct=opt.desert_capture_distinct,
+            group=opt.desert_capture_group,
+        )
 
         def try_pos(_j: int):
             """Returns (mask_idx, kmer, loc) or None."""

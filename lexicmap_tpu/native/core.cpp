@@ -807,6 +807,21 @@ int64_t fill_deserts_native(
     // distinct-prefix mode (flags bit1): per-mask shortest-unique prefix
     // lengths, from LCPs with sorted neighbors (masks are sorted).
     bool distinct_mode = (flags & 2) != 0;
+    // group-prefix mode (flags bit2): candidacy routes by the mask
+    // GENERATION prefix length p (max p with 4^p <= m; 7 for the default
+    // 20k set, one level shorter than the distinct length) and a k-mer is
+    // capturable iff it is the XOR-argmin for ANY mask sharing that
+    // p-prefix (a duplicated-prefix pair both compete).  This models the
+    // lexichash candidate-mask routing (cf. MaskKmer, used by the
+    // reference's reversed-seed pass, lib-index-build.go:813) applied to
+    // the window re-mask.
+    bool group_mode = (flags & 4) != 0;
+    int group_len = 0;
+    if (group_mode) {
+        while ((1LL << (2 * (group_len + 1))) <= m) ++group_len;
+        if (group_len < 1) group_len = 1;
+        if (group_len > prefix_len) group_len = prefix_len;
+    }
     std::vector<int32_t> dlen;
     std::vector<int32_t> dlen_values;  // unique lengths, ascending
     if (distinct_mode) {
@@ -900,6 +915,18 @@ int64_t fill_deserts_native(
                         if (dlen[(size_t)j] != L) continue;
                         if (wins_bucket(x, j, L)) return j;
                     }
+                }
+                return -1;
+            }
+            if (group_mode) {
+                int sh = 2 * (k - group_len);
+                uint64_t xp = x >> sh;
+                auto cmp_lo = [&](uint64_t mv, uint64_t p) { return (mv >> sh) < p; };
+                auto cmp_hi = [&](uint64_t p, uint64_t mv) { return p < (mv >> sh); };
+                int64_t mlo = std::lower_bound(masks, masks + m, xp, cmp_lo) - masks;
+                int64_t mhi = std::upper_bound(masks, masks + m, xp, cmp_hi) - masks;
+                for (int64_t j = mhi - 1; j >= mlo; --j) {  // highest mask wins
+                    if (wins_bucket(x, j, group_len)) return j;
                 }
                 return -1;
             }

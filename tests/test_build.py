@@ -181,11 +181,11 @@ def test_filter_kmer_freq_matches_bruteforce():
     assert _filter_kmer_freq(np.empty(0, np.int64), np.empty(0, np.uint64), 1).shape == (0,)
 
 
-@pytest.mark.parametrize("distinct", [False, True])
-def test_fill_deserts_native_matches_python(distinct):
-    """Native fill_deserts == Python fill_deserts under both capture modes
-    (p8 / distinct-prefix candidacy; ref: lexichash MaskKnownDistinctPrefixes,
-    lib-index-build.go:1196)."""
+@pytest.mark.parametrize("mode", ["p8", "distinct", "group"])
+def test_fill_deserts_native_matches_python(mode):
+    """Native fill_deserts == Python fill_deserts under all capture modes
+    (p8 / distinct-prefix / group-prefix candidacy; ref: lexichash
+    MaskKnownDistinctPrefixes, lib-index-build.go:1196)."""
     from lexicmap_tpu.index.build import fill_deserts
     from lexicmap_tpu.native import fill_deserts_native_call
     from lexicmap_tpu.utils.kmers import kmers_fwd_rc
@@ -195,14 +195,17 @@ def test_fill_deserts_native_matches_python(distinct):
     ms = MaskSet.generate(k, 512, seed=1)
     codes = rng.integers(0, 4, 30000).astype(np.uint8)
     fwd, rc = kmers_fwd_rc(codes, k)
-    opt = BuildOptions(desert_capture_distinct=distinct)
+    opt = BuildOptions(
+        desert_capture_distinct=(mode == "distinct"),
+        desert_capture_group=(mode == "group"),
+    )
     # sparse main seeds so there are plenty of deserts
     locs = np.sort(rng.choice(len(fwd), 60, replace=False)).astype(np.uint32) << np.uint32(1)
     py = fill_deserts(ms, fwd, rc, locs, None, opt)
     nat = fill_deserts_native_call(
         fwd, rc, locs, None, ms.masks, k, ms.distinct_prefix_len,
         opt.seed_max_desert, opt.seed_in_desert_dist, opt.desert_seed_pos_range,
-        flags=(2 if distinct else 0),
+        flags=(2 if mode == "distinct" else 0) | (4 if mode == "group" else 0),
     )
     if nat is None:
         pytest.skip("native lib unavailable")
