@@ -637,18 +637,17 @@ class IndexSearcher:
             metas.append((q_begin, q_end, t_begin, t_end, rc, len(path)))
         return windows, metas, trec
 
-    def _align_genome_native(self, qcodes, hit: GenomeHit, anchors: Anchors, paths, cpr,
-                             pseudo=None):
-        """Fused native phase 4: one C call per genome runs pseudo-alignment,
-        contig assignment, dedup, extension, WFA and scoring for every chain
-        window (core.cpp align_paths); this method only prepares the target
-        windows and assembles SeqDetails from the returned rows.  Returns
-        NotImplemented when the caller must use the per-chain Python path.
-        pseudo: optional device pseudo-align results, one entry per sorted
-        path: ('rows', int64 [C, 8]) | ('none', None) | ('host', None).
-        Same semantics as the loop in _align_genome (ref: falin,
-        lib-index-search.go:1845-2720)."""
-        from ..native import align_paths_native, get_lib
+    def _align_prepare_native(self, qcodes, hit: GenomeHit, anchors: Anchors, paths, cpr,
+                              pseudo=None):
+        """Stage 1 of the fused native phase 5: prepare the per-genome
+        align_paths argument pack (target windows, metas, injected device
+        pseudo-align rows).  Returns NotImplemented (no native lib), None
+        (no target record), or a ctx dict consumed by _align_spans_native /
+        _align_finish_native.  Split out so the device engine can batch the
+        WFA spans of EVERY genome of EVERY query in a batch into one device
+        dispatch (the reference's falin runs per genome,
+        ref: lib-index-search.go:1845-2720)."""
+        from ..native import get_lib
 
         if get_lib() is None or cpr.qk is None:
             return NotImplemented
@@ -703,34 +702,55 @@ class IndexSearcher:
             opt.min_qcov_hsp, opt.min_identity,
         )
         kw = dict(pre_rows=pre_rows, pre_off=pre_off, pre_cnt=pre_cnt)
+        return {
+            "args": args, "kw": kw, "windows": windows, "metas": metas,
+            "trec": trec, "qlen": qlen,
+        }
+
+    def _align_spans_native(self, qcodes, ctx):
+        """Stage 2a of the fused native phase 5 (WFA offload only): collect
+        the extended HSP windows this genome will WFA-align.  Returns the
+        list of (qcodes, tcodes) pairs (empty when there is nothing to
+        align on the device)."""
+        from ..native import align_paths_native
+
+        spans = align_paths_native(*ctx["args"], span_mode=1, **ctx["kw"])
+        if spans is None or not spans.shape[0]:
+            return []
+        windows = ctx["windows"]
+        pairs = []
+        for (q0, qn, t0, tn, pi) in spans:
+            tc = windows[int(pi)]
+            pairs.append((qcodes[q0 : q0 + qn], tc[t0 : t0 + tn]))
+        return pairs
+
+    def _align_finish_native(self, qcodes, hit: GenomeHit, ctx, ops_lists=None):
+        """Stage 2b/3 of the fused native phase 5: run align_paths (with the
+        device WFA op streams injected when ops_lists is given — bit-exact
+        with the host WFA) and assemble SeqDetails from the returned rows.
+        Returns NotImplemented when the caller must use the per-chain
+        Python path."""
+        from ..native import align_paths_native
+
+        opt = self.opt
+        args, kw = ctx["args"], ctx["kw"]
+        metas, trec, qlen = ctx["metas"], ctx["trec"], ctx["qlen"]
         rows = None
-        if self.device_wfa is not None and pseudo is not None:
-            # two-phase WFA offload: collect the extended HSP windows, align
-            # them batched on the device (bit-exact with the host WFA; rare
-            # overflows fall back to host inside DeviceWFA), then finish with
-            # the op streams injected
-            spans = align_paths_native(*args, span_mode=1, **kw)
-            if spans is not None and spans.shape[0]:
-                pairs = []
-                for (q0, qn, t0, tn, pi) in spans:
-                    tc = windows[int(pi)]
-                    pairs.append((qcodes[q0 : q0 + qn], tc[t0 : t0 + tn]))
-                ops_lists = self.device_wfa.align_batch(pairs)
-                if all(o is not None for o in ops_lists):
-                    blobs = [
-                        b"".join(op.encode() * int(n) for (op, n) in opl)
-                        for opl in ops_lists
-                    ]
-                    inj_len = np.array([len(b) for b in blobs], dtype=np.int64)
-                    inj_off = np.zeros(len(blobs), dtype=np.int64)
-                    np.cumsum(inj_len[:-1], out=inj_off[1:])
-                    inj_ops = np.frombuffer(
-                        b"".join(blobs) or b"\0", dtype=np.uint8
-                    )
-                    rows = align_paths_native(
-                        *args, span_mode=2, inj_ops=inj_ops, inj_off=inj_off,
-                        inj_len=inj_len, **kw,
-                    )
+        if ops_lists is not None and all(o is not None for o in ops_lists):
+            blobs = [
+                b"".join(op.encode() * int(n) for (op, n) in opl)
+                for opl in ops_lists
+            ]
+            inj_len = np.array([len(b) for b in blobs], dtype=np.int64)
+            inj_off = np.zeros(len(blobs), dtype=np.int64)
+            np.cumsum(inj_len[:-1], out=inj_off[1:])
+            inj_ops = np.frombuffer(
+                b"".join(blobs) or b"\0", dtype=np.uint8
+            )
+            rows = align_paths_native(
+                *args, span_mode=2, inj_ops=inj_ops, inj_off=inj_off,
+                inj_len=inj_len, **kw,
+            )
         if rows is None:
             rows = align_paths_native(*args, **kw)
         if rows is None:
@@ -802,6 +822,33 @@ class IndexSearcher:
         sds.sort(key=lambda sd: -sd.similarity_score)
         hit.details = sds
         return hit
+
+    def _align_genome_native(self, qcodes, hit: GenomeHit, anchors: Anchors, paths, cpr,
+                             pseudo=None):
+        """Fused native phase 4: one C call per genome runs pseudo-alignment,
+        contig assignment, dedup, extension, WFA and scoring for every chain
+        window (core.cpp align_paths).  Composition of the prepare / spans /
+        finish stages; the device engine drives the stages itself to batch
+        the WFA spans of a whole query batch into one device dispatch.
+        pseudo: optional device pseudo-align results, one entry per sorted
+        path: ('rows', int64 [C, 8]) | ('none', None) | ('host', None).
+        Same semantics as the loop in _align_genome (ref: falin,
+        lib-index-search.go:1845-2720)."""
+        ctx = self._align_prepare_native(qcodes, hit, anchors, paths, cpr, pseudo)
+        if ctx is NotImplemented:
+            return NotImplemented
+        if ctx is None:
+            return None
+        ops_lists = None
+        if self.device_wfa is not None and pseudo is not None:
+            # two-phase WFA offload: collect the extended HSP windows, align
+            # them batched on the device (bit-exact with the host WFA; rare
+            # overflows fall back to host inside DeviceWFA), then finish with
+            # the op streams injected
+            pairs = self._align_spans_native(qcodes, ctx)
+            if pairs:
+                ops_lists = self.device_wfa.align_batch(pairs)
+        return self._align_finish_native(qcodes, hit, ctx, ops_lists)
 
     def _align_genome(self, qcodes, hit: GenomeHit, anchors: Anchors, paths, cpr: SeqComparator,
                       pseudo=None):
@@ -1232,6 +1279,13 @@ class IndexSearcher:
                 f"in {time.time() - t0:.3f}s",
                 file=sys.stderr,
             )
+        return self._assemble_results(qcodes, results)
+
+    def _assemble_results(self, qcodes, results: list[GenomeHit]):
+        """Phase 6: genome-chunk merging, qcovGnm recompute, final filters
+        and output ordering for one query's per-genome alignment results
+        (ref: lib-index-search.go:2755-2870).  Shared by the host per-query
+        path (_phase4_assemble) and the device engine's batched-WFA flow."""
         if not results:
             return []
 

@@ -436,17 +436,30 @@ class DeviceWFA:
         for b, idxs in groups.items():
             N, M, S, W = b
             fwd, tb = self._fns(b)
+            # pad the batch dim to a power of two (min 8): B is otherwise a
+            # fresh jit specialization per distinct batch size — through a
+            # remote transport each compile costs seconds, dwarfing the
+            # alignment itself.  Padding rows replicate row 0 (valid work,
+            # discarded) so the kernels see no degenerate inputs.
             B = len(idxs)
-            qw = np.zeros((B, N + 1), dtype=np.int32)
-            tw = np.zeros((B, M + 1), dtype=np.int32)
-            ns = np.zeros(B, dtype=np.int32)
-            ms = np.zeros(B, dtype=np.int32)
+            B_pad = 8
+            while B_pad < B:
+                B_pad <<= 1
+            qw = np.zeros((B_pad, N + 1), dtype=np.int32)
+            tw = np.zeros((B_pad, M + 1), dtype=np.int32)
+            ns = np.zeros(B_pad, dtype=np.int32)
+            ms = np.zeros(B_pad, dtype=np.int32)
             for row, idx in enumerate(idxs):
                 q, t = pairs[idx]
                 qw[row] = pack_words16(q, N)
                 tw[row] = pack_words16(t, M)
                 ns[row] = q.shape[0]
                 ms[row] = t.shape[0]
+            if B < B_pad:
+                qw[B:] = qw[0]
+                tw[B:] = tw[0]
+                ns[B:] = ns[0]
+                ms[B:] = ms[0]
             hist_M, hist_I, hist_D, los, done_s = fwd(qw, tw, ns, ms)
             ops_a, cnts_a, ws, oks = tb(hist_M, hist_I, hist_D, los, done_s, ns, ms)
             ops_a = np.asarray(ops_a)
