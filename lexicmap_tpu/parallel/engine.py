@@ -57,6 +57,10 @@ class DeviceSearchEngine:
             from .sharded import ShardedSeedMatcher
 
             self.matcher = ShardedSeedMatcher(idx, mesh)
+            if idx.device_wfa is not None:
+                # phase 5's batched WFA shards its pair batch over the mesh
+                # too (pure dp over independent alignments)
+                idx.device_wfa.mesh = mesh
         else:
             self.matcher = idx.device_matcher
         self.min_windows_for_device = min_windows_for_device

@@ -381,7 +381,7 @@ class DeviceWFA:
     )
 
     def __init__(self, mismatch=4, gap_open=6, gap_ext=2,
-                 min_wf_len=10, max_dist_diff=50):
+                 min_wf_len=10, max_dist_diff=50, mesh=None):
         import threading
 
         from . import ensure_jax
@@ -391,6 +391,10 @@ class DeviceWFA:
         self.x, self.o, self.e = mismatch, gap_open, gap_ext
         self.min_wf_len = min_wf_len
         self.max_dist_diff = max_dist_diff
+        #: optional jax.sharding.Mesh — alignment pairs are independent, so
+        #: the batch axis shards over ALL mesh devices (pure dp, no
+        #: collectives; XLA partitions the jitted wavefront programs).
+        self.mesh = mesh
         # (fwd, tb) published atomically per bucket: align_batch runs
         # concurrently from the phase-4 worker threads
         self._built = {}
@@ -445,6 +449,9 @@ class DeviceWFA:
             B_pad = 8
             while B_pad < B:
                 B_pad <<= 1
+            if self.mesh is not None:
+                n_dev = self.mesh.devices.size
+                B_pad = ((B_pad + n_dev - 1) // n_dev) * n_dev
             qw = np.zeros((B_pad, N + 1), dtype=np.int32)
             tw = np.zeros((B_pad, M + 1), dtype=np.int32)
             ns = np.zeros(B_pad, dtype=np.int32)
@@ -460,6 +467,17 @@ class DeviceWFA:
                 tw[B:] = tw[0]
                 ns[B:] = ns[0]
                 ms[B:] = ms[0]
+            if self.mesh is not None:
+                import jax
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                axes = tuple(self.mesh.axis_names)
+                row_sh = NamedSharding(self.mesh, P(axes, None))
+                vec_sh = NamedSharding(self.mesh, P(axes))
+                qw = jax.device_put(qw, row_sh)
+                tw = jax.device_put(tw, row_sh)
+                ns = jax.device_put(ns, vec_sh)
+                ms = jax.device_put(ms, vec_sh)
             hist_M, hist_I, hist_D, los, done_s = fwd(qw, tw, ns, ms)
             ops_a, cnts_a, ws, oks = tb(hist_M, hist_I, hist_D, los, done_s, ns, ms)
             ops_a = np.asarray(ops_a)

@@ -264,3 +264,33 @@ def test_mesh_engine_multi_query_matches_host():
         rows_w = list(format_hit_rows("q", len(q), want))
         rows_g = list(format_hit_rows("q", len(q), got))
         assert rows_w == rows_g
+
+
+def test_mesh_engine_device_wfa_matches_host():
+    """Mesh engine with --wfa device: sharded phase 2a + dp-sharded phase 4
+    + the batch-wide mesh-sharded device WFA (phase 5) reproduce the host
+    searcher's rows exactly on the demo index."""
+    from lexicmap_tpu.cli import format_hit_rows
+    from lexicmap_tpu.index.search import IndexSearcher, SearchOptions
+    from lexicmap_tpu.parallel.engine import DeviceSearchEngine
+    from lexicmap_tpu.parallel.sharded import make_mesh
+    from lexicmap_tpu.utils.fasta import read_fastx
+
+    host = IndexSearcher(DEMO_DB, SearchOptions())
+    idx = IndexSearcher(DEMO_DB, SearchOptions(engine="device", wfa_engine="device"))
+    assert idx.device_wfa is not None
+    gene = next(iter(read_fastx(os.path.join(DEMO_DIR, "q.gene.fasta")))).seq
+    mut = bytearray(gene)
+    rng = np.random.default_rng(11)
+    for p in rng.integers(0, len(mut), size=25):
+        mut[p] = ord("ACGT"[int(rng.integers(0, 4))])
+    queries = [bytes(gene), bytes(mut)]
+
+    eng = DeviceSearchEngine(idx, mesh=make_mesh(8))
+    assert idx.device_wfa.mesh is not None
+    mesh_res = eng.search_batch(queries)
+    for q, got in zip(queries, mesh_res):
+        want = host.search_bytes(q)
+        rows_w = list(format_hit_rows("q", len(q), want))
+        rows_g = list(format_hit_rows("q", len(q), got))
+        assert rows_w and rows_w == rows_g
