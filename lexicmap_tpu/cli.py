@@ -208,6 +208,7 @@ def cmd_search(args) -> int:
         output_seq=args.all,
         engine=args.engine,
         wfa_engine=args.wfa,
+        chain_engine=args.chain,
         debug=args.debug,
         taxdump_dir=args.taxdump or None,
         genome2taxid_file=args.genome2taxid or None,
@@ -424,6 +425,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="base-level aligner: host wavefronts or the batched "
         "diagonal-parallel TPU WFA (bit-exact; effective with --engine "
         "device on HSP-heavy workloads)",
+    )
+    ps.add_argument(
+        "--chain", choices=["host", "device"], default="host",
+        help="phase-3 chainer: host DP or the batched TPU chain1 scan "
+        "(bit-exact forward DP, host backtrack; effective with --engine "
+        "device on genome-heavy batches)",
     )
     ps.add_argument("--debug", action="store_true", help="per-phase timings")
     ps.add_argument("-J", "--max-query-conc", type=int, default=1)

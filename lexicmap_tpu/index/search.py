@@ -89,6 +89,7 @@ class SearchOptions:
     output_seq: bool = False  # -a/--all
     engine: str = "host"  # "host" | "device" (Pallas seed matching)
     wfa_engine: str = "host"  # "host" | "device" (batched diagonal-parallel WFA)
+    chain_engine: str = "host"  # "host" | "device" (batched chain1 DP scan)
     debug: bool = False  # per-phase timings to stderr (ref: --debug logs)
 
     # TaxId filtering (ref: lib-index-search.go:93-98, search.go:232-239)
@@ -234,6 +235,18 @@ class IndexSearcher:
             from ..parallel.wfa_device import DeviceWFA
 
             self.device_wfa = DeviceWFA()
+
+        # optional batched device chainer (bit-exact forward DP with host
+        # backtracking; ref: Chainer.Chain, lib-chaining.go:122-633)
+        self.device_chainer = None
+        if self.opt.chain_engine == "device":
+            from ..parallel.chain_device import DeviceChainer
+
+            copt = self.opt.chaining_options()
+            self.device_chainer = DeviceChainer(
+                max_gap=copt.max_gap, min_score=copt.min_score,
+                max_dist=int(copt.max_distance),
+            )
 
         # TaxId filtering (ref: lib-index-search.go:316-416)
         self.filter_by_taxid = bool(self.opt.taxids or self.opt.negative_taxids)
@@ -588,6 +601,50 @@ class IndexSearcher:
             hits.sort(key=lambda t: -t[0].score)
             hits = hits[:top_n]
         return hits
+
+    def _chain_genomes_many(self, per_genome_list: list[dict]):
+        """Batched phase 3: the chain1 forward DP of every genome of every
+        query runs as a few vmapped device dispatches (chain_engine=device;
+        parallel/chain_device.py), with host backtracking — bit-identical
+        to _chain_genomes.  Genomes the device flags (window truncation /
+        oversize anchor sets) fall back to the host chainer.  Returns one
+        hits list per input per_genome dict."""
+        from ..ops.chaining import _chain_backtrack, chain, clear_substr_pairs
+
+        copt = self.opt.chaining_options()
+        min_score = copt.min_score
+        flat = []  # (query_pos, rid, cleared_anchors)
+        for qi, per_genome in enumerate(per_genome_list):
+            for rid, anchors in per_genome.items():
+                a = clear_substr_pairs(anchors, self.k) if len(anchors) > 1 else anchors
+                flat.append((qi, rid, a))
+        dp = self.device_chainer.chain_batch(
+            [(a.qbegin, a.tbegin, a.length) for (_, _, a) in flat]
+        )
+        out = [[] for _ in per_genome_list]
+        for (qi, rid, a), (kind, fwd) in zip(flat, dp):
+            if kind == "ok":
+                ms, prev, dirs = fwd
+                paths, score = _chain_backtrack(
+                    ms, prev, dirs, np.float32(min_score), copt
+                )
+            else:
+                paths, score = chain(a, copt)
+            if score < min_score or not paths:
+                continue
+            hit = GenomeHit(
+                batch_genome_index=rid,
+                genome_batch=rid >> BITS_GENOME_IDX,
+                genome_index=rid & MASK_GENOME_IDX,
+                score=float(score),
+            )
+            out[qi].append((hit, a, paths))
+        top_n = self.opt.top_n
+        for qi, hits in enumerate(out):
+            if top_n > 0 and len(hits) > top_n:
+                hits.sort(key=lambda t: -t[0].score)
+                out[qi] = hits[:top_n]
+        return out
 
     # ------------------------------------------------------------------
     # phase 4: alignment

@@ -32,7 +32,12 @@ def _build() -> bool:
         # not race on the rename
         tmp = f"{_LIB}.{os.getpid()}.tmp"
         cmd = [
-            "g++", "-O3", "-march=native", "-std=c++17",
+            # -ffp-contract=off: GCC at -O3 otherwise contracts float
+            # mul+add chains into FMAs, which rounds differently (1-2 ulp)
+            # from the reference's Go on amd64 (gc emits no auto-FMA
+            # there), from numpy, and from the device DP — chain scores
+            # must be bit-identical across all four
+            "g++", "-O3", "-march=native", "-ffp-contract=off", "-std=c++17",
             "-shared", "-fPIC", _SRC, "-o", tmp,
         ]
         subprocess.run(cmd, check=True, capture_output=True)

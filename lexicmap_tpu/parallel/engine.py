@@ -61,6 +61,10 @@ class DeviceSearchEngine:
                 # phase 5's batched WFA shards its pair batch over the mesh
                 # too (pure dp over independent alignments)
                 idx.device_wfa.mesh = mesh
+            if idx.device_chainer is not None:
+                # phase 3's batched chain DP likewise shards its genome
+                # batch over the mesh
+                idx.device_chainer.mesh = mesh
         else:
             self.matcher = idx.device_matcher
         self.min_windows_for_device = min_windows_for_device
@@ -97,18 +101,34 @@ class DeviceSearchEngine:
         else:
             dev_hits = {i: None for i in valid}
 
-        # phases 2b-3 (host) + window prep, then one device pseudo-align
-        # run over every window of every query
+        # phase 2b (host posting gather) for every query, then phase 3:
+        # with --chain device the chain1 DP of every genome of every query
+        # runs as a few vmapped device dispatches (chain_device.py);
+        # otherwise the host chainer runs per query
+        pg_of = {
+            i: idx._collect_anchors(
+                codes[i], premasked=masked[i], dev_hits_pre=dev_hits[i]
+            )
+            for i in valid
+        }
+        if idx.device_chainer is not None:
+            hits_list = idx._chain_genomes_many([pg_of[i] or {} for i in valid])
+            chained_of = dict(zip(valid, hits_list))
+        else:
+            chained_of = {
+                i: (idx._chain_genomes(pg_of[i]) if pg_of[i] else [])
+                for i in valid
+            }
+
+        # window prep, then one device pseudo-align run over every window
+        # of every query
         hits_of = {}
         cpr_of = {}
         queries = []
         windows = []
         wmeta = []  # (query_index, hit_pos, path_pos)
         for b, i in enumerate(valid):
-            per_genome = idx._collect_anchors(
-                codes[i], premasked=masked[i], dev_hits_pre=dev_hits[i]
-            )
-            hits = idx._chain_genomes(per_genome) if per_genome else []
+            hits = chained_of[i]
             hits_of[i] = hits
             if not hits:
                 continue

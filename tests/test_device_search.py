@@ -115,3 +115,78 @@ def test_search_many_matches_per_query(db):
     assert many[3] == []
     for q, got in zip(queries[:3], many[:3]):
         assert rows_of(got) == rows_of(dev.search_bytes(q))
+
+
+def test_device_chain_engine_matches_host(db):
+    """--engine device --chain device: the batched chain1 forward DP on the
+    device (+ host backtrack) reproduces the host rows exactly — the DP is
+    float32 bit-compatible (integer-exact gaps + host-precomputed gap-score
+    table for the float64 log2)."""
+    out, seqs = db
+    host = IndexSearcher(out, SearchOptions(engine="host"))
+    dev = IndexSearcher(out, SearchOptions(engine="device", chain_engine="device"))
+    assert dev.device_chainer is not None
+    rng = np.random.default_rng(23)
+    queries = []
+    for name in ["D0", "D1", "D2"]:
+        base = bytearray(seqs[name][15000:17500])
+        for _ in range(40):
+            p = int(rng.integers(0, len(base)))
+            base[p] = ord("ACGT"[int(rng.integers(0, 4))])
+        queries.append(bytes(base))
+    # chimera: two genomes + an indel, multi-genome chaining
+    queries.append(seqs["D1"][2000:3200] + b"TTAC" * 2 + seqs["D0"][40000:41200])
+    r_host = [host.search_bytes(q) for q in queries]
+    r_dev = dev.search_many(queries)
+    from lexicmap_tpu.index.search import IndexSearcher as _IS  # noqa: F401
+
+    for i, (a, b) in enumerate(zip(r_host, r_dev)):
+        assert rows_of(a) == rows_of(b), i
+    st = dev.device_chainer.stats
+    assert st["genomes"] > 0
+    assert st["genomes"] > st["host_genomes"]
+
+
+def test_device_chainer_dp_matches_host_forward():
+    """Direct differential: device chain1 forward DP vs the host/native DP
+    on random anchor sets (including window-truncation detection)."""
+    from lexicmap_tpu.ops.chaining import Anchors, ChainingOptions, chain
+    from lexicmap_tpu.parallel.chain_device import DeviceChainer
+
+    copt = ChainingOptions(max_gap=50.0, min_score=40.0, max_distance=1000.0)
+    rng = np.random.default_rng(5)
+    sets = []
+    for n in (2, 7, 40, 127, 128, 300, 700):
+        qb = np.sort(rng.integers(0, 2500, n)).astype(np.int32)
+        tb = (qb + rng.integers(-40, 40, n)).astype(np.int32)
+        ln = rng.integers(15, 32, n).astype(np.int32)
+        sets.append((qb, tb, ln))
+    # dense repeat-like set: many anchors within max_distance (truncation
+    # candidate for the 512-window buckets)
+    n = 1500
+    qb = np.sort(rng.integers(0, 900, n)).astype(np.int32)
+    tb = (qb + rng.integers(-30, 30, n)).astype(np.int32)
+    ln = rng.integers(15, 32, n).astype(np.int32)
+    sets.append((qb, tb, ln))
+
+    dc = DeviceChainer(copt.max_gap, copt.min_score, int(copt.max_distance))
+    res = dc.chain_batch(sets)
+    from lexicmap_tpu.native import chain1_forward_native
+
+    n_ok = 0
+    for (qb, tb, ln), (kind, fwd) in zip(sets, res):
+        if kind != "ok":
+            continue
+        n_ok += 1
+        want = chain1_forward_native(
+            qb, tb, ln, copt.max_gap, copt.min_score, int(copt.max_distance)
+        )
+        if want is None:
+            anchors = Anchors(qb, tb, ln, np.zeros(len(qb), bool), np.zeros(len(qb), bool))
+            continue  # native lib unavailable: engine test covers parity
+        ms, prev, dirs = fwd
+        w_ms, w_prev, w_dirs = want
+        assert np.array_equal(ms.view(np.uint32), w_ms.astype(np.float32).view(np.uint32))
+        assert np.array_equal(prev, w_prev)
+        assert np.array_equal(dirs, w_dirs)
+    assert n_ok >= 6
