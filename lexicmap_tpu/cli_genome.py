@@ -25,6 +25,7 @@ def cmd_genome_search(args) -> int:
     sopt = SearchOptions(
         min_prefix=args.seed_min_prefix,
         in_memory=args.load_whole_seeds,
+        engine=getattr(args, "engine", "host"),
         taxdump_dir=args.taxdump or None,
         genome2taxid_file=args.genome2taxid or None,
         taxids=taxids,
@@ -243,6 +244,12 @@ def register_genome(sub) -> None:
     p.add_argument("--kmer-scale", type=int, default=4)
     p.add_argument("--max-subject-genome-size", type=int, default=20, help="in Mb")
     p.add_argument("-S", "--only-genome-screening", action="store_true")
+    p.add_argument(
+        "--engine", choices=["host", "device"], default="host",
+        help="candidate screening: host range search or one batched TPU "
+        "prefix match over the window captures (hybrid lo-word refinement "
+        "for prefixes > 16)",
+    )
     p.add_argument("-O", "--OrthoANI", action="store_true")
     p.add_argument("-w", "--load-whole-seeds", action="store_true")
     p.add_argument("-i", "--align-min-match-pident", type=float, default=70.0)

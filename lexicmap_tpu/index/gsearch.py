@@ -176,8 +176,8 @@ def gsearch_screen(idx: IndexSearcher, q: GQuery, opt: GSearchOptions):
     step = L // (windows + 1) if windows > 1 else L
     window = step * 2 if windows > 1 else L
 
-    # per-mask k-mer lists over windows
-    per_mask: list[list[int]] = [[] for _ in range(ms.m)]
+    # per-window capture vectors [m] (0 = no captured k-mer for that mask)
+    window_vecs: list[np.ndarray] = []
     for i in range(windows):
         start = i * step
         end = L if i == windows - 1 else start + window
@@ -187,21 +187,95 @@ def gsearch_screen(idx: IndexSearcher, q: GQuery, opt: GSearchOptions):
             if e >= start and s < end
         ]
         res = capture(ms, q.big_codes[start:end], regions, check_shorter_prefix=True)
-        kk = res.kmers
+        kk = res.kmers.copy()
         bad = (
             (kk == 0) | (kk == ccc) | (kk == ggg) | (kk == ttt)
             | is_low_complexity_dust(kk, k)
         )
-        for j in np.nonzero(~bad)[0]:
-            per_mask[j].append(int(kk[j]))
+        kk[bad] = 0
+        window_vecs.append(kk)
     if windows > 1:
-        per_mask = [sorted(set(v)) for v in per_mask]
+        # dedup per mask across windows (the reference scores each distinct
+        # (mask, k-mer) once)
+        for w in range(1, windows):
+            dup = np.zeros(ms.m, dtype=bool)
+            for w2 in range(w):
+                dup |= window_vecs[w] == window_vecs[w2]
+            window_vecs[w][dup] = 0
 
-    # range-search each (mask, kmer) with p = min_prefix; score per genome =
-    # sum of matched prefix lengths over every posting
     p = opt.min_prefix
+
+    # device screening: the window capture vectors are exactly the seed
+    # matcher's query format ([m] k-mers, 0 = none), so candidate screening
+    # is ONE batched device prefix match over all windows — the same Pallas
+    # kernel as search phase 2a (parallel/device_search.py).  The hi-word
+    # tables cover prefixes up to 16 bases; for the deeper gsearch prefix
+    # (21 by default) the device returns the 16-base superset range and the
+    # host narrows it with two lo-word bisections per mask (hybrid).
+    dev = None
+    if idx.device_matcher is not None:
+        p_dev = min(p, 16)
+        dev = idx.device_matcher.match_batch(np.stack(window_vecs), p_dev)
+        if any(d is None or d is False for d in dev):
+            dev = None  # H_CAP overflow in some window: host path for all
+
+    if dev is not None:
+        suf = np.uint64((1 << (2 * (k - p))) - 1)
+        scores: dict[int, int] = {}
+        for rdr in idx.chunks:
+            mb, me = rdr.mask_begin, rdr.mask_end
+            for w, (hm, he0, hnh) in enumerate(dev):
+                insel = (hm >= mb) & (hm < me)
+                if not insel.any():
+                    continue
+                mi = hm[insel]
+                qks = window_vecs[w][mi]
+                base = np.asarray(rdr.mask_offsets)[mi - mb]
+                seg_lo = base + he0[insel]
+                seg_hi = seg_lo + hnh[insel]
+                if p > 16:
+                    seg_lo2 = searchsorted_segments(
+                        rdr.kmers, seg_lo, seg_hi, qks & ~suf, "left"
+                    )
+                    seg_hi = searchsorted_segments(
+                        rdr.kmers, seg_lo, seg_hi, qks | suf, "right"
+                    )
+                    seg_lo = seg_lo2
+                eidx = _ranges_to_indices(seg_lo, seg_hi)
+                qrow = np.repeat(
+                    np.arange(mi.shape[0]), (seg_hi - seg_lo).astype(np.int64)
+                )
+                first_vals = np.asarray(
+                    rdr.values[np.asarray(rdr.entry_offsets)[eidx]]
+                )
+                ok = (first_vals & np.uint64(1)) == np.uint64(0)
+                eidx = eidx[ok]
+                qrow = qrow[ok]
+                if eidx.shape[0] == 0:
+                    continue
+                lcp = kmer_lcp(np.asarray(rdr.kmers[eidx]), qks[qrow], k)
+                v0 = np.asarray(rdr.entry_offsets)[eidx]
+                v1 = np.asarray(rdr.entry_offsets)[eidx + 1]
+                vidx = _ranges_to_indices(v0, v1)
+                per = (v1 - v0).astype(np.int64)
+                vals = np.asarray(rdr.values[vidx])
+                lcps = np.repeat(lcp, per)
+                codes = (vals >> np.uint64(BITS_NONE_IDX)).astype(np.int64)
+                for code, l in zip(codes, lcps):
+                    code = int(code)
+                    if idx.filter_by_taxid and not idx._genome_allowed(code):
+                        continue
+                    scores[code] = scores.get(code, 0) + int(l)
+        return _screen_assemble(idx, scores, opt)
+
+    # host path: range-search each (mask, kmer) with p = min_prefix; score
+    # per genome = sum of matched prefix lengths over every posting
+    per_mask: list[list[int]] = [[] for _ in range(ms.m)]
+    for vec in window_vecs:
+        for j in np.nonzero(vec)[0]:
+            per_mask[j].append(int(vec[j]))
     suf = np.uint64((1 << (2 * (k - p))) - 1)
-    scores: dict[int, int] = {}
+    scores = {}
     for rdr in idx.chunks:
         mask_ids = []
         qkmers = []
@@ -244,6 +318,10 @@ def gsearch_screen(idx: IndexSearcher, q: GQuery, opt: GSearchOptions):
                 continue
             scores[code] = scores.get(code, 0) + int(l)
 
+    return _screen_assemble(idx, scores, opt)
+
+
+def _screen_assemble(idx: IndexSearcher, scores: dict, opt: GSearchOptions):
     if not scores:
         return []
 

@@ -164,3 +164,25 @@ def test_genome_pairs_mask_subset(setup):
     assert ids == {"GA", "GB"}
     # matched-mask count cannot exceed the subset size
     assert all(p[2] <= nm for p in pairs)
+
+
+def test_screen_device_matches_host(setup):
+    """Candidate screening through the device seed matcher (one batched
+    prefix match over the window captures, host lo-word refinement for the
+    21-base gsearch prefix) must produce identical scores to the host
+    range-search path."""
+    jax = pytest.importorskip("jax")  # noqa: F841
+    idx_h, genomes, files, d = setup
+    from lexicmap_tpu.index.gsearch import read_genome_query
+
+    out = idx_h.dir if hasattr(idx_h, "dir") else None
+    idx_d = IndexSearcher(idx_h.path, SearchOptions(min_prefix=21, engine="device")) \
+        if hasattr(idx_h, "path") else None
+    if idx_d is None:
+        pytest.skip("searcher path attribute unavailable")
+    assert idx_d.device_matcher is not None
+    for gname in ("GA", "GB"):
+        q = read_genome_query(str(d / f"{gname}.fasta"), idx_h.k)
+        host = gsearch_screen(idx_h, q, GSearchOptions())
+        dev = gsearch_screen(idx_d, q, GSearchOptions())
+        assert host == dev, gname
