@@ -266,6 +266,10 @@ def test_mesh_engine_multi_query_matches_host():
         assert rows_w == rows_g
 
 
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(DEMO_DB, "info.json")),
+    reason="demo index not built (see tests/test_demo_parity.py header)",
+)
 def test_mesh_engine_device_wfa_matches_host():
     """Mesh engine with --wfa device: sharded phase 2a + dp-sharded phase 4
     + the batch-wide mesh-sharded device WFA (phase 5) reproduce the host
