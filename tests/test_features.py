@@ -155,3 +155,16 @@ def test_cli_engine_auto_and_device_build(tmp_path):
     with open(out) as fh:
         rows = fh.read().strip().splitlines()
     assert len(rows) >= 2 and "\tg\t" in rows[1]
+
+    # auto is now the DEFAULT: a flagless search takes the same path (the
+    # JAX_PLATFORMS=cpu pin short-circuits the probe -> host) and the
+    # parameter echo reports the resolved engine
+    out2 = str(tmp_path / "r2.tsv")
+    r = subprocess.run(
+        [sys.executable, "-m", "lexicmap_tpu.cli", "search",
+         "-d", db_h, str(q), "-o", out2],
+        capture_output=True, text=True, env=env, cwd=cwd,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "engine: host" in r.stderr
+    assert open(out2).read() == open(out).read()
