@@ -84,6 +84,7 @@ def main():
     # optional TPU device engine in the parent process (host fork workers
     # take the remaining cores); compile-cached kernels make warm-up cheap
     idx_dev = None
+    device_warmup_s = 0.0
     try:
         import __graft_entry__ as g
 
@@ -94,7 +95,10 @@ def main():
             t0 = time.time()
             idx_dev = IndexSearcher(DEMO_DB, SearchOptions(engine="device"))
             idx_dev.search_many([rec.seq] * 32)  # warm / compile
-            log(f"device engine warm in {time.time() - t0:.1f}s")
+            device_warmup_s = time.time() - t0
+            log(f"device engine warm in {device_warmup_s:.1f}s "
+                "(cold cost = axon session warm-up + jit; excluded from the "
+                "measured rounds, which are warm)")
     except Exception as e:  # no TPU / tunnel down -> host-only
         log(f"device engine unavailable ({type(e).__name__}: {e}); host-only")
         idx_dev = None
@@ -232,6 +236,14 @@ def main():
                 "workers": workers,
                 "qpm_rounds": qpm_rounds,
                 "vs_baseline_worst": round(min(qpm_rounds) / BASELINE_QPM, 4),
+                # warm vs cold, reported separately (the measured rounds are
+                # warm; the cold cost is the axon session warm-up + jit and
+                # is outside client control on this tunnel)
+                "device_warmup_s": round(device_warmup_s, 1),
+                "probe_qpm": {
+                    "host_pool": round(host_rate * 60, 1),
+                    "device_warm": round(dev_rate * 60, 1),
+                },
             }
         )
     )
