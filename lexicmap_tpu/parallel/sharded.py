@@ -178,9 +178,9 @@ class ShardedSeedMatcher:
             gids = np.empty((tp, mb_pad), dtype=np.uint32)
             for s, ids in enumerate(ids_per_shard):
                 hi[s], cnt[s], gids[s] = pack_bucket_rows(per_mask, ids, self.k, E, mb_pad)
-            d_hi = jax.device_put(hi, NamedSharding(mesh, P("tp", None, None)))
-            d_cnt = jax.device_put(cnt, NamedSharding(mesh, P("tp", None)))
-            d_gids = jax.device_put(gids, NamedSharding(mesh, P("tp", None)))
+            d_hi = _gput(hi, NamedSharding(mesh, P("tp", None, None)))
+            d_cnt = _gput(cnt, NamedSharding(mesh, P("tp", None)))
+            d_gids = _gput(gids, NamedSharding(mesh, P("tp", None)))
             self.buckets.append((E, tile, d_hi, d_cnt, d_gids, mb_pad, ids_per_shard))
             self.hbm_bytes += tp * mb_pad * E * 4
         self.host_tables = {int(mi): per_mask[mi] for mi in host_ids}
@@ -274,8 +274,8 @@ class ShardedSeedMatcher:
             for s, ids in enumerate(ids_per_shard):
                 qh[:, s, : ids.shape[0]] = qh_full[:, ids]
                 qv[:, s, : ids.shape[0]] = sel[:, ids]
-            sqh = jax.device_put(qh, NamedSharding(self.mesh, P("dp", "tp", None)))
-            sqv = jax.device_put(qv, NamedSharding(self.mesh, P("dp", "tp", None)))
+            sqh = _gput(qh, NamedSharding(self.mesh, P("dp", "tp", None)))
+            sqv = _gput(qv, NamedSharding(self.mesh, P("dp", "tp", None)))
             fn = self._bucket_fn(bi, min_prefix)
             pending.append(fn(d_hi, d_cnt, d_gids, sqh, sqv))
 
@@ -336,3 +336,17 @@ def _shard_tile_for(E: int) -> int:
     from .device_search import _tile_for
 
     return _tile_for(E, 200)
+
+
+def _gput(arr: np.ndarray, sharding):
+    """device_put that also works when the mesh spans multiple PROCESSES
+    (jax.distributed): every process holds the identical full host array and
+    contributes the shards its local devices own.  Single-process keeps the
+    plain device_put fast path."""
+    import jax
+
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: arr[idx]
+    )
