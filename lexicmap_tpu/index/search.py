@@ -582,6 +582,10 @@ class IndexSearcher:
     def _chain_genomes(self, per_genome: dict):
         copt = self.opt.chaining_options()
         min_score = copt.min_score
+        if len(per_genome) >= 8 and not os.environ.get("LEXICMAP_TPU_NO_BATCH"):
+            hits = self._chain_genomes_batch(per_genome, copt)
+            if hits is not None:
+                return hits
         hits = []
         for rid, anchors in per_genome.items():
             a = clear_substr_pairs(anchors, self.k) if len(anchors) > 1 else anchors
@@ -596,6 +600,43 @@ class IndexSearcher:
             )
             hits.append((hit, a, paths))
         # keep top-N genomes by chaining score
+        top_n = self.opt.top_n
+        if top_n > 0 and len(hits) > top_n:
+            hits.sort(key=lambda t: -t[0].score)
+            hits = hits[:top_n]
+        return hits
+
+    def _chain_genomes_batch(self, per_genome: dict, copt):
+        """MANY-HIT fast path: sort + nested-anchor removal + chain DP +
+        backtrack for every genome in ONE threaded native call
+        (native/core.cpp::chain1_batch), bit-identical to the per-genome
+        loop below (cross-checked by tests/test_native.py).  Returns None
+        when the native lib is unavailable (caller falls back)."""
+        from ..native import chain1_batch_native
+
+        import multiprocessing as _mp
+
+        threads = 1 if _mp.current_process().daemon else 0
+        items = list(per_genome.items())
+        batch = chain1_batch_native(
+            [(a.qbegin, a.tbegin, a.length) for _, a in items],
+            self.k, copt.max_gap, copt.min_score, copt.max_distance,
+            copt.top_chains, threads=threads,
+        )
+        if batch is None:
+            return None
+        min_score = copt.min_score
+        hits = []
+        for (rid, anchors), (kept, paths, score) in zip(items, batch):
+            if score < min_score or not paths:
+                continue
+            hit = GenomeHit(
+                batch_genome_index=rid,
+                genome_batch=rid >> BITS_GENOME_IDX,
+                genome_index=rid & MASK_GENOME_IDX,
+                score=float(score),
+            )
+            hits.append((hit, anchors.take(kept), paths))
         top_n = self.opt.top_n
         if top_n > 0 and len(hits) > top_n:
             hits.sort(key=lambda t: -t[0].score)
@@ -781,19 +822,20 @@ class IndexSearcher:
             pairs.append((qcodes[q0 : q0 + qn], tc[t0 : t0 + tn]))
         return pairs
 
-    def _align_finish_native(self, qcodes, hit: GenomeHit, ctx, ops_lists=None):
+    def _align_finish_native(self, qcodes, hit: GenomeHit, ctx, ops_lists=None,
+                             rows=None):
         """Stage 2b/3 of the fused native phase 5: run align_paths (with the
         device WFA op streams injected when ops_lists is given — bit-exact
         with the host WFA) and assemble SeqDetails from the returned rows.
-        Returns NotImplemented when the caller must use the per-chain
-        Python path."""
+        `rows` short-circuits the align_paths call with a precomputed row
+        matrix (the many-hit batch path, _phase4_batch_native).  Returns
+        NotImplemented when the caller must use the per-chain Python path."""
         from ..native import align_paths_native
 
         opt = self.opt
         args, kw = ctx["args"], ctx["kw"]
         metas, trec, qlen = ctx["metas"], ctx["trec"], ctx["qlen"]
-        rows = None
-        if ops_lists is not None and all(o is not None for o in ops_lists):
+        if rows is None and ops_lists is not None and all(o is not None for o in ops_lists):
             blobs = [
                 b"".join(op.encode() * int(n) for (op, n) in opl)
                 for opl in ops_lists
@@ -906,6 +948,50 @@ class IndexSearcher:
             if pairs:
                 ops_lists = self.device_wfa.align_batch(pairs)
         return self._align_finish_native(qcodes, hit, ctx, ops_lists)
+
+    def _phase4_batch_native(self, qcodes, hits, cpr, threads=0):
+        """MANY-HIT phase 4: prepare every genome's align_paths argument
+        pack, then run ONE threaded native call for the whole genome set
+        (native/core.cpp::align_paths_batch).  Bit-identical to the
+        per-genome loop (same align_paths core per genome).  Rare per-genome
+        overflow / WFA-failure slots are retried via the per-genome paths.
+        Returns the results list, or None when the native path is
+        unavailable (caller falls back)."""
+        from ..native import align_paths_batch_native
+
+        ctxs = []
+        for hit, anchors, paths in hits:
+            paths = sorted(paths, key=lambda p: int(anchors.tbegin[p[0]]))
+            ctx = self._align_prepare_native(qcodes, hit, anchors, paths, cpr)
+            if ctx is NotImplemented:
+                return None
+            ctxs.append(ctx)  # may be None (missing target record)
+        live = [(i, c) for i, c in enumerate(ctxs) if c is not None]
+        if not live:
+            return []
+        batch = align_paths_batch_native(
+            [c["args"] for _, c in live], threads=threads
+        )
+        if batch is None:
+            return None
+        results = []
+        for (i, ctx), rows in zip(live, batch):
+            hit, anchors, paths = hits[i]
+            if isinstance(rows, str):
+                if rows == "overflow":
+                    # per-genome retry grows the row buffer as needed
+                    r = self._align_finish_native(qcodes, hit, ctx)
+                    if r is NotImplemented:
+                        r = self._align_genome(qcodes, hit, anchors, paths, cpr)
+                else:  # wfa_fail: per-chain Python path
+                    r = self._align_genome(qcodes, hit, anchors, paths, cpr)
+            elif rows.shape[0] == 0:
+                r = None
+            else:
+                r = self._align_finish_native(qcodes, hit, ctx, rows=rows)
+            if r is not None and r is not NotImplemented:
+                results.append(r)
+        return results
 
     def _align_genome(self, qcodes, hit: GenomeHit, anchors: Anchors, paths, cpr: SeqComparator,
                       pseudo=None):
@@ -1299,6 +1385,27 @@ class IndexSearcher:
         import multiprocessing as _mp
 
         in_pool_worker = _mp.current_process().daemon
+        if (
+            pseudo_map is None
+            and len(hits) >= 8
+            and self.device_wfa is None
+            and not self.opt.output_seq
+            and not os.environ.get("LEXICMAP_TPU_NO_BATCH")
+        ):
+            # MANY-HIT fast path: one threaded native call aligns every
+            # genome (align_paths_batch); per-genome futures + ctypes
+            # marshaling dominate beyond a few hundred genome hits
+            res = self._phase4_batch_native(
+                qcodes, hits, cpr, threads=1 if in_pool_worker else 0
+            )
+            if res is not None:
+                if debug:
+                    print(
+                        f"  [debug] alignment: {len(res)} genomes with HSPs "
+                        f"in {time.time() - t0:.3f}s (batched native)",
+                        file=sys.stderr,
+                    )
+                return self._assemble_results(qcodes, res)
         if len(hits) > 1 and (os.cpu_count() or 1) > 1 and not in_pool_worker:
             # per-genome alignment fans out over threads: the native WFA /
             # chaining calls release the GIL (the reference's per-genome

@@ -38,7 +38,7 @@ def _build() -> bool:
             # there), from numpy, and from the device DP — chain scores
             # must be bit-identical across all four
             "g++", "-O3", "-march=native", "-ffp-contract=off", "-std=c++17",
-            "-shared", "-fPIC", _SRC, "-o", tmp,
+            "-pthread", "-shared", "-fPIC", _SRC, "-o", tmp,
         ]
         subprocess.run(cmd, check=True, capture_output=True)
         os.replace(tmp, _LIB)
@@ -94,6 +94,13 @@ def get_lib():
     lib.clear_substr_pairs_mark.restype = None
     lib.clear_substr_pairs_mark.argtypes = [
         i32p, i32p, i32p, ctypes.c_int64, ctypes.c_int32, i8p,
+    ]
+    lib.chain1_batch.restype = None
+    lib.chain1_batch.argtypes = [
+        i32p, i32p, i32p, i64p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_float, ctypes.c_float, ctypes.c_int32,
+        ctypes.c_int64, ctypes.c_int32,
+        i64p, i64p, i32p, i64p, i32p, i64p, f32p,
     ]
     lib.chain3_chain.restype = ctypes.c_int32
     lib.chain3_chain.argtypes = [
@@ -187,6 +194,26 @@ def get_lib():
         + [ctypes.c_void_p, ctypes.c_int64]          # out rows
         + [ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64]  # span_mode, span_buf, span_cap
         + [ctypes.c_void_p] * 3                      # inj_ops, inj_off, inj_len
+    )
+    lib.align_paths_batch.restype = None
+    lib.align_paths_batch.argtypes = (
+        [ctypes.c_void_p, ctypes.c_int64]            # qcodes
+        + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]  # qk, qv, nq
+        + [ctypes.c_void_p, ctypes.c_int32]          # qtab, bbits
+        + [ctypes.c_int32] * 2                       # cmp_k, cmp_min_prefix
+        + [ctypes.c_int32, ctypes.c_int32, ctypes.c_double,
+           ctypes.c_double, ctypes.c_int32, ctypes.c_double]  # chain2 opts
+        + [ctypes.c_void_p, ctypes.c_void_p]         # tbuf_all, tbuf_goff
+        + [ctypes.c_void_p, ctypes.c_void_p]         # t_off_all, t_len_all
+        + [ctypes.c_void_p] * 5                      # p_qbegin..p_rc
+        + [ctypes.c_void_p]                          # path_goff
+        + [ctypes.c_void_p, ctypes.c_void_p]         # seq_sizes_all, seq_goff
+        + [ctypes.c_int64, ctypes.c_int32]           # interval, k
+        + [ctypes.c_int64, ctypes.c_double, ctypes.c_double,
+           ctypes.c_double, ctypes.c_double]         # ext2, totals, filters
+        + [ctypes.c_int32] * 6                       # wfa params
+        + [ctypes.c_int64, ctypes.c_int32]           # n_genomes, n_threads
+        + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]  # rows, goff, counts
     )
     lib.capture_native.restype = ctypes.c_int64
     lib.capture_native.argtypes = [
@@ -292,6 +319,63 @@ def chain1_forward_native(qb, tb, ln, max_gap, min_score, max_dist):
     return scores, prev, dirs
 
 
+def chain1_batch_native(genomes, k, max_gap, min_score, max_dist,
+                        top_chains, threads=0):
+    """Batched phase-3 chaining (sort + nested-anchor removal + chain1 DP +
+    backtrack) for many genomes in ONE native call, threaded across genomes.
+    `genomes` is a list of (qbegin, tbegin, length) int32 arrays in their
+    original (uncleaned) order.  Returns a list of
+    (kept_idx int64[], paths list[int32[]], score float) — kept_idx are the
+    surviving anchors (already in chaining sort order) as indices into the
+    input arrays; path values index kept_idx — or None if the lib is
+    unavailable.  Bit-identical to ops/chaining.py (tests/test_native.py)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_g = len(genomes)
+    if n_g == 0:
+        return []
+    off = np.zeros(n_g + 1, dtype=np.int64)
+    for i, (q, _, _) in enumerate(genomes):
+        off[i + 1] = off[i] + q.shape[0]
+    total = int(off[-1])
+    qb = np.empty(total, dtype=np.int32)
+    tb = np.empty(total, dtype=np.int32)
+    ln = np.empty(total, dtype=np.int32)
+    for i, (q, t, l) in enumerate(genomes):
+        s, e = off[i], off[i + 1]
+        qb[s:e] = q
+        tb[s:e] = t
+        ln[s:e] = l
+    kept_idx = np.empty(total, dtype=np.int64)
+    kept_counts = np.empty(n_g, dtype=np.int64)
+    path_nodes = np.empty(2 * total, dtype=np.int32)
+    path_node_counts = np.empty(n_g, dtype=np.int64)
+    path_lens = np.empty(total, dtype=np.int32)
+    path_counts = np.empty(n_g, dtype=np.int64)
+    scores = np.empty(n_g, dtype=np.float32)
+    lib.chain1_batch(
+        qb, tb, ln, off, n_g, int(k),
+        float(max_gap), float(min_score), int(max_dist),
+        int(top_chains), int(threads),
+        kept_idx, kept_counts, path_nodes, path_node_counts,
+        path_lens, path_counts, scores,
+    )
+    out = []
+    for g in range(n_g):
+        s = int(off[g])
+        kept = kept_idx[s : s + int(kept_counts[g])]
+        npaths = int(path_counts[g])
+        if npaths:
+            lens = path_lens[s : s + npaths]
+            nodes = path_nodes[2 * s : 2 * s + int(path_node_counts[g])]
+            paths = np.split(nodes, np.cumsum(lens[:-1])) if npaths > 1 else [nodes]
+        else:
+            paths = []
+        out.append((kept, paths, float(scores[g])))
+    return out
+
+
 def clear_mark_native(qb, tb, ln, k):
     lib = get_lib()
     if lib is None:
@@ -305,6 +389,98 @@ def clear_mark_native(qb, tb, ln, k):
         n, int(k), drop,
     )
     return drop.astype(bool)
+
+
+def align_paths_batch_native(ctx_args_list, threads=0):
+    """Fused phase 4 for MANY genomes of one query in a single threaded C
+    call.  `ctx_args_list` is a list of align_paths_native arg tuples (the
+    ctx["args"] built by search.py::_align_prepare_native — per-query
+    constants must be identical across entries).  Returns a list with one
+    entry per genome: float64 [n, 18] row matrix, or the string "overflow"
+    (caller retries that genome via align_paths_native) or "wfa_fail"
+    (caller uses the Python per-chain path).  None if the lib is missing."""
+    lib = get_lib()
+    if lib is None or not ctx_args_list:
+        return None
+    a0 = ctx_args_list[0]
+    (qcodes, qk, qv, qtab, bbits, cmp_k, cmp_min_prefix,
+     band_base, band_count, c2_max_gap, c2_min_score, c2_min_align_len,
+     c2_heur) = a0[:13]
+    (interval, k) = a0[22:24]
+    (ext2_base, total_bases, max_evalue, min_qcov_hsp, min_identity) = a0[24:29]
+    qcodes = np.ascontiguousarray(qcodes, dtype=np.uint8)
+    qk = np.ascontiguousarray(qk, dtype=np.uint64)
+    qv = np.ascontiguousarray(qv, dtype=np.uint32)
+    tab_ptr = 0
+    if qtab is not None:
+        qtab = np.ascontiguousarray(qtab, dtype=np.uint32)
+        tab_ptr = qtab.ctypes.data
+
+    n_g = len(ctx_args_list)
+    i64 = lambda x: np.ascontiguousarray(x, dtype=np.int64)
+    tbuf_goff = np.zeros(n_g + 1, dtype=np.int64)
+    path_goff = np.zeros(n_g + 1, dtype=np.int64)
+    seq_goff = np.zeros(n_g + 1, dtype=np.int64)
+    row_goff = np.zeros(n_g + 1, dtype=np.int64)
+    tbufs, toffs, tlens, pqb, pqe, ptb, pte, prc, seqs = \
+        [], [], [], [], [], [], [], [], []
+    for i, args in enumerate(ctx_args_list):
+        tbuf, t_off, t_len = args[13], i64(args[14]), i64(args[15])
+        tbufs.append(np.ascontiguousarray(tbuf, dtype=np.uint8))
+        toffs.append(t_off)
+        tlens.append(t_len)
+        pqb.append(i64(args[16]))
+        pqe.append(i64(args[17]))
+        ptb.append(i64(args[18]))
+        pte.append(i64(args[19]))
+        prc.append(np.ascontiguousarray(args[20], dtype=np.uint8))
+        seqs.append(i64(args[21]))
+        n_paths = t_off.shape[0]
+        tbuf_goff[i + 1] = tbuf_goff[i] + tbufs[-1].shape[0]
+        path_goff[i + 1] = path_goff[i] + n_paths
+        seq_goff[i + 1] = seq_goff[i] + seqs[-1].shape[0]
+        row_goff[i + 1] = row_goff[i] + max(64, 8 * n_paths)
+    cat = np.concatenate
+    tbuf_all = cat(tbufs) if tbufs else np.zeros(0, dtype=np.uint8)
+    t_off_all = cat(toffs)
+    t_len_all = cat(tlens)
+    p_qbegin, p_qend = cat(pqb), cat(pqe)
+    p_tbegin, p_tend = cat(ptb), cat(pte)
+    p_rc = cat(prc)
+    seq_sizes_all = cat(seqs)
+    out_rows = np.empty((int(row_goff[-1]), 18), dtype=np.float64)
+    out_counts = np.empty(n_g, dtype=np.int64)
+    lib.align_paths_batch(
+        qcodes.ctypes.data, int(qcodes.shape[0]),
+        qk.ctypes.data, qv.ctypes.data, int(qk.shape[0]),
+        tab_ptr, int(bbits),
+        int(cmp_k), int(cmp_min_prefix),
+        int(band_base), int(band_count), float(c2_max_gap),
+        float(c2_min_score), int(c2_min_align_len), float(c2_heur),
+        tbuf_all.ctypes.data, tbuf_goff.ctypes.data,
+        t_off_all.ctypes.data, t_len_all.ctypes.data,
+        p_qbegin.ctypes.data, p_qend.ctypes.data,
+        p_tbegin.ctypes.data, p_tend.ctypes.data, p_rc.ctypes.data,
+        path_goff.ctypes.data,
+        seq_sizes_all.ctypes.data, seq_goff.ctypes.data,
+        int(interval), int(k),
+        int(ext2_base), float(total_bases), float(max_evalue),
+        float(min_qcov_hsp), float(min_identity),
+        4, 6, 2, 1, 10, 50,
+        n_g, int(threads),
+        out_rows.ctypes.data, row_goff.ctypes.data, out_counts.ctypes.data,
+    )
+    out = []
+    for g in range(n_g):
+        c = int(out_counts[g])
+        if c == -1:
+            out.append("overflow")
+        elif c == -2:
+            out.append("wfa_fail")
+        else:
+            s = int(row_goff[g])
+            out.append(out_rows[s : s + c])
+    return out
 
 
 def capture_native_call(fwd, rc, exclude, masks, k, prefix_len, check_shorter):

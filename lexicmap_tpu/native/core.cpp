@@ -19,6 +19,8 @@
 #include <ctime>
 #include <algorithm>
 #include <atomic>
+#include <thread>
+#include <numeric>
 
 extern "C" {
 
@@ -1257,9 +1259,10 @@ int64_t compare_probe_codes(const uint64_t* qk, const uint32_t* qv, int64_t nq,
 // lib-chaining2.go:222-307).  Outputs the cleaned anchors plus the DP
 // tables; backtracking stays on the Python side.  Returns the final anchor
 // count, 0 if nothing survives, -1 on cap overflow.
-static double g_prof2[4] = {0, 0, 0, 0};
+// nanosecond atomics: align_paths_batch runs these on many threads
+static std::atomic<int64_t> g_prof2[4] = {{0}, {0}, {0}, {0}};
 extern "C" void get_prep_prof(double* out);
-void get_prep_prof(double* out) { for (int i = 0; i < 4; ++i) { out[i] = g_prof2[i]; g_prof2[i] = 0; } }
+void get_prep_prof(double* out) { for (int i = 0; i < 4; ++i) { out[i] = 1e-9 * (double)g_prof2[i].exchange(0); } }
 static inline double now2_s() {
     struct timespec ts;
     clock_gettime(CLOCK_MONOTONIC, &ts);
@@ -1277,7 +1280,7 @@ int64_t compare_prepare(const uint64_t* qk, const uint32_t* qv, int64_t nq,
     double tp0 = now2_s();
     int64_t w = compare_probe_codes(qk, qv, nq, tcodes, L, qtab, bbits,
                                     mprefix, k, begin, end, aq, at, al, arc, cap);
-    g_prof2[0] += now2_s() - tp0;
+    g_prof2[0].fetch_add((int64_t)(1e9 * (now2_s() - tp0)), std::memory_order_relaxed);
     if (w <= 0) return w;
     tp0 = now2_s();
 
@@ -1319,7 +1322,7 @@ int64_t compare_prepare(const uint64_t* qk, const uint32_t* qv, int64_t nq,
         }
     }
 
-    g_prof2[1] += now2_s() - tp0;
+    g_prof2[1].fetch_add((int64_t)(1e9 * (now2_s() - tp0)), std::memory_order_relaxed);
     tp0 = now2_s();
     // drop nested anchors (clear_substr_pairs_mark semantics, int64)
     static thread_local std::vector<int64_t> keep;
@@ -1413,12 +1416,12 @@ int64_t compare_prepare(const uint64_t* qk, const uint32_t* qv, int64_t nq,
         aq[i] = sq[(size_t)i]; at[i] = st[(size_t)i];
         al[i] = sl[(size_t)i]; arc[i] = sc[(size_t)i];
     }
-    g_prof2[2] += now2_s() - tp0;
+    g_prof2[2].fetch_add((int64_t)(1e9 * (now2_s() - tp0)), std::memory_order_relaxed);
     tp0 = now2_s();
     if (n >= 2) {
         chain2_forward(aq, at, al, n, band_base, band_count, max_gap,
                        max_scores, prev_idx);
-        g_prof2[3] += now2_s() - tp0;
+        g_prof2[3].fetch_add((int64_t)(1e9 * (now2_s() - tp0)), std::memory_order_relaxed);
     } else if (n == 1) {
         max_scores[0] = (double)al[0];
         prev_idx[0] = 0;
@@ -1732,13 +1735,13 @@ struct DedupKey {
 extern "C" {
 
 // profiling accumulators for align_paths (fetched by get_align_prof)
-static double g_prof[4] = {0, 0, 0, 0};  // compare, backtrack, extend, wfa
+static std::atomic<int64_t> g_prof[4] = {{0}, {0}, {0}, {0}};  // compare, backtrack, extend, wfa (ns)
 static inline double now_s() {
     struct timespec ts;
     clock_gettime(CLOCK_MONOTONIC, &ts);
     return (double)ts.tv_sec + 1e-9 * (double)ts.tv_nsec;
 }
-void get_align_prof(double* out) { for (int i = 0; i < 4; ++i) { out[i] = g_prof[i]; g_prof[i] = 0; } }
+void get_align_prof(double* out) { for (int i = 0; i < 4; ++i) { out[i] = 1e-9 * (double)g_prof[i].exchange(0); } }
 
 // Output row layout (double[18] per kept HSP):
 //  0 path_idx  1 group_id  2 i_seq  3 qbegin  4 qend  5 tbegin  6 tend
@@ -1848,7 +1851,7 @@ int64_t align_paths(
             if (start1 < 0 || start2 < 0) { start1 = s1_0; start2 = s2_0; }
             if (end1 > qlen || end2 > tlen) { end1 = e1_0; end2 = e2_0; }
 
-            g_prof[2] += now_s() - te0;
+            g_prof[2].fetch_add((int64_t)(1e9 * (now_s() - te0)), std::memory_order_relaxed);
             int64_t qn = end1 - start1, tn = end2 - start2;
             if (span_mode == 1) {
                 if (span_n >= span_cap) { overflow = true; return; }
@@ -1872,7 +1875,7 @@ int64_t align_paths(
                 w = wfa_align_stats(qcodes + start1, qn, tcodes + start2, tn,
                                     x, o, e, adaptive, min_wf_len, max_dist_diff,
                                     ops.data(), cap, stats);
-                g_prof[3] += now_s() - tw0;
+                g_prof[3].fetch_add((int64_t)(1e9 * (now_s() - tw0)), std::memory_order_relaxed);
                 if (w < 0) { wfa_fail = true; return; }
             }
             if (stats[1] == 0) continue;  // empty trimmed region
@@ -1966,7 +1969,7 @@ int64_t align_paths(
             if (n == -1) { cap *= 4; continue; }
             break;
         }
-        g_prof[0] += now_s() - tt0;
+        g_prof[0].fetch_add((int64_t)(1e9 * (now_s() - tt0)), std::memory_order_relaxed);
         if (!have_pre && n == 0) continue;
 
         std::vector<C2R> chains;
@@ -1992,7 +1995,7 @@ int64_t align_paths(
                                           c2_min_score, c2_min_align_len,
                                           c2_heur_pident,
                                           bt_rows.data(), bt_pident.data(), n, totals);
-            g_prof[1] += now_s() - tb0;
+            g_prof[1].fetch_add((int64_t)(1e9 * (now_s() - tb0)), std::memory_order_relaxed);
             for (int64_t i = 0; i < nc; ++i) {
                 const int64_t* r = bt_rows.data() + i * 8;
                 C2R c{};
@@ -2046,6 +2049,271 @@ int64_t align_paths(
     if (wfa_fail) return -2;
     if (overflow) return -1;
     return span_mode == 1 ? span_n : n_rows;
+}
+
+// ---------------------------------------------------------------------------
+// Batched phase 4 for the MANY-HIT regime: align_paths for many genomes of
+// one query in a single call, threaded across genomes (each genome's work is
+// independent; the per-genome Python marshaling of ~50 ctypes args costs
+// more than the C work at 1000 genome hits/query).  Per-query constants are
+// passed once; per-genome inputs arrive concatenated with offset arrays:
+//   tbuf_goff[g]   genome g's start in tbuf_all (its t_off values stay
+//                  genome-relative, exactly as align_paths expects)
+//   path_goff[g]   genome g's path range in t_off/t_len/p_*
+//   seq_goff[g]    genome g's contig-size range in seq_sizes_all
+//   row_goff[g]    genome g's row slot in out_rows (capacity
+//                  row_goff[g+1]-row_goff[g]); out_counts[g] = rows written,
+//                  -1 (slot overflow: caller retries that genome alone) or
+//                  -2 (WFA failure: caller uses the Python path)
+void align_paths_batch(
+    const uint8_t* qcodes, int64_t qlen,
+    const uint64_t* qk, const uint32_t* qv, int64_t nq,
+    const uint32_t* qtab, int32_t bbits,
+    int32_t cmp_k, int32_t cmp_min_prefix,
+    int32_t band_base, int32_t band_count, double c2_max_gap,
+    double c2_min_score, int32_t c2_min_align_len, double c2_heur_pident,
+    const uint8_t* tbuf_all, const int64_t* tbuf_goff,
+    const int64_t* t_off_all, const int64_t* t_len_all,
+    const int64_t* p_qbegin, const int64_t* p_qend,
+    const int64_t* p_tbegin, const int64_t* p_tend, const uint8_t* p_rc,
+    const int64_t* path_goff,
+    const int64_t* seq_sizes_all, const int64_t* seq_goff,
+    int64_t interval, int32_t k,
+    int64_t ext2_base, double total_bases, double max_evalue,
+    double min_qcov_hsp, double min_identity,
+    int32_t x, int32_t o, int32_t e,
+    int32_t adaptive, int32_t min_wf_len, int32_t max_dist_diff,
+    int64_t n_genomes, int32_t n_threads,
+    double* out_rows, const int64_t* row_goff, int64_t* out_counts) {
+    std::atomic<int64_t> next(0);
+    auto worker = [&]() {
+        for (;;) {
+            int64_t g = next.fetch_add(1, std::memory_order_relaxed);
+            if (g >= n_genomes) return;
+            const int64_t p0 = path_goff[g];
+            const int64_t np = path_goff[g + 1] - p0;
+            const int64_t s0 = seq_goff[g];
+            out_counts[g] = align_paths(
+                qcodes, qlen, qk, qv, nq, qtab, bbits,
+                cmp_k, cmp_min_prefix, band_base, band_count, c2_max_gap,
+                c2_min_score, c2_min_align_len, c2_heur_pident,
+                tbuf_all + tbuf_goff[g], t_off_all + p0, t_len_all + p0,
+                p_qbegin + p0, p_qend + p0, p_tbegin + p0, p_tend + p0,
+                p_rc + p0, np,
+                seq_sizes_all + s0, seq_goff[g + 1] - s0, interval, k,
+                ext2_base, total_bases, max_evalue, min_qcov_hsp, min_identity,
+                x, o, e, adaptive, min_wf_len, max_dist_diff,
+                nullptr, nullptr, nullptr,
+                out_rows + row_goff[g] * 18, row_goff[g + 1] - row_goff[g],
+                0, nullptr, 0, nullptr, nullptr, nullptr);
+        }
+    };
+    int nt = n_threads > 0 ? n_threads
+                           : (int)std::thread::hardware_concurrency();
+    if (nt < 1) nt = 1;
+    if ((int64_t)nt > n_genomes) nt = (int)n_genomes;
+    if (nt <= 1) {
+        worker();
+    } else {
+        std::vector<std::thread> pool;
+        pool.reserve((size_t)nt);
+        for (int i = 0; i < nt; ++i) pool.emplace_back(worker);
+        for (auto& t : pool) t.join();
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Batched phase-3 chaining for the MANY-HIT regime: per-genome anchor sort +
+// nested-anchor removal + chain1 forward DP + backtracking in one call,
+// threaded across genomes.  Exact mirror of ops/chaining.py
+// (clear_substr_pairs + chain + _chain_backtrack; ref: lib-chaining.go
+// :122-633, lib-index-search.go:826-953) — the per-genome Python loop in
+// search.py::_chain_genomes costs ~0.6 ms/genome at 1000 genome hits/query.
+//
+// Inputs: concatenated per-genome anchors in their ORIGINAL order;
+// off[g]..off[g+1] is genome g's slice.  Outputs use disjoint per-genome
+// slots so genomes can run on any thread:
+//   kept_idx   at off[g] (kept_counts[g] entries): local indices (within
+//              genome g, original order) of surviving anchors, sorted by
+//              (QBegin asc, QEnd desc, TBegin asc)
+//   path_nodes at 2*off[g] (path_node_counts[g] entries): concatenated
+//              paths; values index the kept array
+//   path_lens  at off[g] (path_counts[g] entries)
+//   scores[g]  best chain score (chain() return, 0 if no anchors)
+void chain1_batch(const int32_t* qb, const int32_t* tb, const int32_t* ln,
+                  const int64_t* off, int64_t n_genomes, int32_t k,
+                  float max_gap, float min_score, int32_t max_dist,
+                  int64_t top_chains, int32_t n_threads,
+                  int64_t* kept_idx, int64_t* kept_counts,
+                  int32_t* path_nodes, int64_t* path_node_counts,
+                  int32_t* path_lens, int64_t* path_counts, float* scores) {
+    std::atomic<int64_t> next(0);
+    auto worker = [&]() {
+        std::vector<int32_t> ord, sq, st, sl, tmp;
+        std::vector<float> ms;
+        std::vector<int64_t> prev;
+        std::vector<int8_t> dirs;
+        std::vector<uint8_t> visited;
+        std::vector<uint64_t> order;
+        for (;;) {
+            int64_t g = next.fetch_add(1, std::memory_order_relaxed);
+            if (g >= n_genomes) return;
+            const int64_t base = off[g];
+            const int64_t n0 = off[g + 1] - base;
+            const int32_t* gq = qb + base;
+            const int32_t* gt = tb + base;
+            const int32_t* gl = ln + base;
+            int64_t* kidx = kept_idx + base;
+            int32_t* pnodes = path_nodes + 2 * base;
+            int32_t* plens = path_lens + base;
+            scores[g] = 0.0f;
+            kept_counts[g] = 0;
+            path_counts[g] = 0;
+            path_node_counts[g] = 0;
+            if (n0 == 0) continue;
+
+            // sort by (QBegin asc, QEnd desc, TBegin asc); stable = lexsort
+            int64_t n1;
+            if (n0 > 1) {
+                ord.resize((size_t)n0);
+                std::iota(ord.begin(), ord.end(), 0);
+                std::stable_sort(ord.begin(), ord.end(),
+                                 [&](int32_t a, int32_t b) {
+                    if (gq[a] != gq[b]) return gq[a] < gq[b];
+                    const int32_t ea = gq[a] + gl[a], eb = gq[b] + gl[b];
+                    if (ea != eb) return ea > eb;
+                    return gt[a] < gt[b];
+                });
+                sq.resize((size_t)n0); st.resize((size_t)n0); sl.resize((size_t)n0);
+                for (int64_t i = 0; i < n0; ++i) {
+                    const int32_t o = ord[(size_t)i];
+                    sq[(size_t)i] = gq[o]; st[(size_t)i] = gt[o]; sl[(size_t)i] = gl[o];
+                }
+                // nested-anchor removal: drop marks over the FULL sorted
+                // array (dropped anchors still participate as j), compact
+                n1 = 1;
+                kidx[0] = ord[0];  // position 0 is never dropped
+                for (int64_t i = 1; i < n0; ++i) {
+                    const int32_t vqe = sq[(size_t)i] + sl[(size_t)i];
+                    int32_t upbound = vqe - k;
+                    if (upbound < 0) upbound = 0;
+                    const int32_t vtb = st[(size_t)i];
+                    const int32_t vte = vtb + sl[(size_t)i];
+                    int64_t lo = 0, hi = i + 1;
+                    while (lo < hi) {
+                        const int64_t mid = (lo + hi) >> 1;
+                        if (sq[(size_t)mid] < upbound) lo = mid + 1; else hi = mid;
+                    }
+                    bool drop = false;
+                    for (int64_t j = lo; j < i; ++j) {
+                        if (vqe <= sq[(size_t)j] + sl[(size_t)j] &&
+                            vtb >= st[(size_t)j] &&
+                            vte <= st[(size_t)j] + sl[(size_t)j]) { drop = true; break; }
+                    }
+                    if (!drop) {
+                        // compact in place: positions < i already final only
+                        // if no drops happened before; write to parallel slot
+                        kidx[n1] = ord[(size_t)i];
+                        ++n1;
+                    }
+                }
+                if (n1 != n0) {
+                    // re-gather compacted sorted arrays from kept indices
+                    for (int64_t i = 0; i < n1; ++i) {
+                        const int64_t o = kidx[i];
+                        sq[(size_t)i] = gq[o]; st[(size_t)i] = gt[o]; sl[(size_t)i] = gl[o];
+                    }
+                }
+            } else {
+                kidx[0] = 0;
+                n1 = 1;
+            }
+            kept_counts[g] = n1;
+
+            if (n1 == 1) {
+                const int32_t l0 = (n0 > 1) ? sl[0] : gl[0];
+                const float w = seed_weight_f((float)l0);
+                scores[g] = w;
+                if (w >= min_score) {
+                    pnodes[0] = 0;
+                    plens[0] = 1;
+                    path_counts[g] = 1;
+                    path_node_counts[g] = 1;
+                }
+                continue;
+            }
+
+            // forward DP (identical to chain1_forward)
+            ms.resize((size_t)n1);
+            prev.resize((size_t)n1);
+            dirs.resize((size_t)n1);
+            chain1_forward(sq.data(), st.data(), sl.data(), n1,
+                           max_gap, min_score, max_dist,
+                           ms.data(), prev.data(), dirs.data());
+
+            // backtrack (mirror of ops/chaining.py::_chain_backtrack)
+            order.resize((size_t)n1);
+            for (int64_t i = 0; i < n1; ++i) {
+                uint32_t sb;
+                std::memcpy(&sb, &ms[(size_t)i], 4);
+                order[(size_t)i] = ((uint64_t)sb << 32) | (uint64_t)i;
+            }
+            std::sort(order.begin(), order.end(), std::greater<uint64_t>());
+            visited.assign((size_t)n1, 0);
+            float max_score = 0.0f;
+            bool first = true;
+            int64_t oi = 0, n_checked = 0, node_w = 0, n_paths = 0;
+            for (;;) {
+                ++n_checked;
+                if (top_chains > 0 && n_checked > top_chains) break;
+                float M = 0.0f;
+                int64_t Mi = -1;
+                while (oi < n1) {
+                    const int64_t ci = (int64_t)(order[(size_t)oi] & 0xffffffffu);
+                    ++oi;
+                    if (!visited[(size_t)ci]) { M = ms[(size_t)ci]; Mi = ci; break; }
+                }
+                if (Mi < 0 || M < min_score) break;
+                if (first) { max_score = M; first = false; }
+                tmp.clear();
+                int64_t i = Mi;
+                for (;;) {
+                    const int64_t j = prev[(size_t)i];
+                    const bool change_dir = (i != j) && dirs[(size_t)j] != 0 &&
+                                            dirs[(size_t)i] != dirs[(size_t)j];
+                    if (visited[(size_t)j] && !change_dir) {
+                        visited[(size_t)i] = 1;  // abandoned branch
+                        break;
+                    }
+                    tmp.push_back((int32_t)i);
+                    visited[(size_t)i] = 1;
+                    if (i == j || change_dir) {
+                        if (change_dir) tmp.push_back((int32_t)j);
+                        for (size_t z = tmp.size(); z-- > 0;)
+                            pnodes[node_w++] = tmp[z];
+                        plens[n_paths++] = (int32_t)tmp.size();
+                        break;
+                    }
+                    i = j;
+                }
+            }
+            scores[g] = max_score;
+            path_counts[g] = n_paths;
+            path_node_counts[g] = node_w;
+        }
+    };
+    int nt = n_threads > 0 ? n_threads
+                           : (int)std::thread::hardware_concurrency();
+    if (nt < 1) nt = 1;
+    if ((int64_t)nt > n_genomes) nt = (int)n_genomes;
+    if (nt <= 1) {
+        worker();
+    } else {
+        std::vector<std::thread> pool;
+        pool.reserve((size_t)nt);
+        for (int i = 0; i < nt; ++i) pool.emplace_back(worker);
+        for (auto& t : pool) t.join();
+    }
 }
 
 }  // extern "C"
