@@ -258,3 +258,8 @@ def _bench_one(seq):
 
 if __name__ == "__main__":
     main()
+    # a timed-out device fetch (hung tunnel dispatch) leaves a thread
+    # blocked in the runtime that aborts normal interpreter teardown
+    from lexicmap_tpu.parallel import hard_exit_if_abandoned
+
+    hard_exit_if_abandoned(0)

@@ -597,7 +597,13 @@ def main(argv=None) -> int:
     if getattr(args, "log", ""):
         fh = open(args.log, "a")
         sys.stderr = _TeeStream(sys.stderr, fh)
-    return args.func(args)
+    code = args.func(args)
+    # a timed-out device fetch leaves a thread blocked in the runtime that
+    # would abort normal interpreter teardown — exit hard with the real code
+    from .parallel import hard_exit_if_abandoned
+
+    hard_exit_if_abandoned(code or 0)
+    return code
 
 
 if __name__ == "__main__":

@@ -1498,7 +1498,11 @@ class IndexSearcher:
         flows through the device engine (parallel/engine.py): seed matching
         AND per-window pseudo-alignment run as batched TPU dispatches, with
         the remaining host phases threaded.  Host engine: per-query loop."""
-        if self.device_matcher is None:
+        from ..parallel import device_tripped
+
+        if self.device_matcher is None or device_tripped():
+            # device_tripped: the dispatch watchdog fired earlier in this
+            # process (hung transport) — every batch goes straight to host
             return [self.search(seq_to_codes(s.upper())) for s in seqs]
 
         eng = getattr(self, "_device_engine", None)

@@ -36,3 +36,101 @@ def ensure_jax() -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     except Exception:
         pass
+
+
+# ---------------------------------------------------------------------------
+# Device-dispatch watchdog.  The axon tunnel backend intermittently never
+# completes a dispatch (observed 2026-08-20: an identical, already-compiled
+# program returns in ~1 s on one run and blocks device_get forever on the
+# next).  Every device fetch in the search path goes through fetch_guarded:
+# on timeout the process-wide circuit breaker trips, the caller falls back
+# to its host path, and all later batches skip the device outright — a hung
+# transport must never hang the CLI.  LEXICMAP_TPU_DEVICE_TIMEOUT tunes the
+# watchdog (seconds; 0 disables it).
+
+_tripped = False
+_abandoned: list = []
+
+
+def device_tripped() -> bool:
+    """True once a device fetch has timed out in this process."""
+    return _tripped
+
+
+def abandoned_fetch() -> bool:
+    """True if a timed-out fetch thread is still blocked in the runtime.
+    Such a thread aborts the process during normal interpreter teardown
+    (the C++ runtime throws through the dying thread); callers that own
+    the process exit (the CLI, bench) should flush and os._exit instead."""
+    return any(t.is_alive() for t in _abandoned)
+
+
+def hard_exit_if_abandoned(code: int = 0) -> None:
+    """os._exit(code) when an abandoned device fetch would otherwise abort
+    interpreter teardown; no-op in the healthy case."""
+    if abandoned_fetch():
+        import sys
+
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(code)
+
+
+def trip_device(reason: str) -> None:
+    global _tripped
+    if not _tripped:
+        _tripped = True
+        import sys
+
+        print(
+            f"lexicmap_tpu: {reason}; disabling the device engine for this "
+            "process (host fallback)",
+            file=sys.stderr,
+        )
+
+
+_first_fetch_done = False
+
+
+def fetch_guarded(tree, what: str = "device dispatch", timeout: float | None = None):
+    """jax.device_get with a watchdog.  Returns the fetched tree, or None
+    when the breaker is (or just got) tripped — the caller must fall back
+    to its host path.  The abandoned fetch thread dies with the process.
+
+    Default timeout: 300 s for the first fetch of the process (cold compiles
+    through the tunnel legitimately take minutes), 60 s once any fetch has
+    completed (warm dispatches finish in well under a second)."""
+    global _first_fetch_done
+    if _tripped:
+        return None
+    import jax
+
+    if timeout is None:
+        env = os.environ.get("LEXICMAP_TPU_DEVICE_TIMEOUT")
+        if env is not None:
+            timeout = float(env)
+        else:
+            timeout = 300.0 if not _first_fetch_done else 60.0
+    if timeout <= 0:
+        return jax.device_get(tree)
+    import threading
+
+    box: dict = {}
+
+    def run():
+        try:
+            box["v"] = jax.device_get(tree)
+        except Exception as e:  # surfaced to the caller below
+            box["e"] = e
+
+    t = threading.Thread(target=run, daemon=True, name="lexicmap-fetch")
+    t.start()
+    t.join(timeout)
+    if t.is_alive():
+        _abandoned.append(t)
+        trip_device(f"{what} did not complete within {timeout:.0f}s")
+        return None
+    if "e" in box:
+        raise box["e"]
+    _first_fetch_done = True
+    return box["v"]

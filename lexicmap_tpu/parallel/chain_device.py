@@ -211,6 +211,11 @@ class DeviceChainer:
         Returns a list aligned with the input (see class docstring)."""
         import jax
 
+        from . import device_tripped
+
+        if device_tripped():  # hung-transport breaker: host chainer
+            return [("host", None)] * len(anchor_sets)
+
         out = [None] * len(anchor_sets)
         groups: dict[int, list[int]] = {}
         for idx, (qb, tb, ln) in enumerate(anchor_sets):
@@ -263,11 +268,19 @@ class DeviceChainer:
                 tb = jax.device_put(tb, row_sh)
                 ln = jax.device_put(ln, row_sh)
                 ns = jax.device_put(ns, vec_sh)
-            ms, prev, dirs, trunc = self._fn(n_pad)(qb, tb, ln, ns, self._gtab_dev)
-            ms = np.asarray(ms)
-            prev = np.asarray(prev)
-            dirs = np.asarray(dirs)
-            trunc = np.asarray(trunc)
+            from . import fetch_guarded
+
+            fetched = fetch_guarded(
+                self._fn(n_pad)(qb, tb, ln, ns, self._gtab_dev),
+                "device chain DP",
+            )
+            if fetched is None:  # watchdog tripped: bucket to the host chainer
+                for idx in idxs:
+                    self.stats["genomes"] += 1
+                    self.stats["host_genomes"] += 1
+                    out[idx] = ("host", None)
+                continue
+            ms, prev, dirs, trunc = fetched
             for row, idx in enumerate(idxs):
                 n = anchor_sets[idx][0].shape[0]
                 self.stats["genomes"] += 1

@@ -35,7 +35,11 @@ from __future__ import annotations
 
 import numpy as np
 
-from .pallas_kernels import PAD_HI, seed_locate_pallas, split_kmers_hi_lo
+from .pallas_kernels import (
+    PAD_HI,
+    seed_locate_batch_pallas,
+    split_kmers_hi_lo,
+)
 
 # masks with more entries go to the host bisection path.  2^17 keeps the
 # Pallas tile >= 8 rows within the VMEM budget; entry counts grow ~2x the
@@ -166,11 +170,12 @@ class DeviceSeedMatcher:
             H = min(H_CAP, mb_pad)
 
             def call(d_hi, d_cnt, d_ids, qh_b, qv_b, t=tile, p=min_prefix, H=H):
-                nh, e0 = jax.vmap(
-                    lambda q, v: seed_locate_pallas(
-                        d_hi, d_cnt, q, v, p=p, tile_m=t, interpret=self.interpret
-                    )
-                )(qh_b, qv_b)  # [B, mb_pad] i32
+                # whole-batch locate in ONE kernel (batch = grid dim;
+                # vmap-of-pallas_call hangs the axon backend's compiler)
+                nh, e0 = seed_locate_batch_pallas(
+                    d_hi, d_cnt, qh_b, qv_b, p=p, tile_m=t,
+                    interpret=self.interpret,
+                )  # [B, mb_pad] i32
                 hit = nh > 0
                 keys = jnp.where(hit, d_ids[None, :], jnp.uint32(0xFFFFFFFF))
                 # e0 and n ride as separate operands (e0 may exceed 2^16 for
@@ -204,7 +209,11 @@ class DeviceSeedMatcher:
         seed matching), from one dispatch per bucket."""
         import jax.numpy as jnp
 
+        from . import device_tripped
+
         B = query_kmers_batch.shape[0]
+        if device_tripped():  # hung-transport breaker: host matching
+            return [None] * B
         qh = np.zeros((B, self.m), dtype=np.uint32)
         sel = query_kmers_batch != 0  # 0 = "no captured k-mer" sentinel
         if sel.any():
@@ -220,9 +229,11 @@ class DeviceSeedMatcher:
             fn = self._bucket_fn(bi, min_prefix)
             pending.append(fn(d_hi, d_cnt, d_ids, jnp.asarray(qh_b), jnp.asarray(qv_b)))
 
-        import jax
+        from . import fetch_guarded
 
-        fetched = jax.device_get(pending)
+        fetched = fetch_guarded(pending, "device seed matching")
+        if fetched is None:  # watchdog tripped: whole batch to host matching
+            return [None] * B
 
         per_query: list[list] = [[] for _ in range(B)]
         overflow = np.zeros(B, dtype=bool)

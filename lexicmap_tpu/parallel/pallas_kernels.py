@@ -115,6 +115,56 @@ def seed_locate_pallas(
     return nh[:, 0], e0[:, 0]
 
 
+@functools.partial(jax.jit, static_argnames=("p", "tile_m", "interpret"))
+def seed_locate_batch_pallas(
+    seed_hi: jnp.ndarray,  # [M, E] uint32, rows sorted
+    seed_cnt: jnp.ndarray,  # [M] int32 real entry count per mask row
+    query_hi: jnp.ndarray,  # [B, M] uint32
+    query_valid: jnp.ndarray,  # [B, M] int32/bool
+    p: int = 15,
+    tile_m: int = 256,
+    interpret: bool = False,
+):
+    """Batched >=p-prefix locate: the whole query batch in ONE kernel.
+
+    The batch is a native grid dimension (minor, so each seed tile stays
+    VMEM-resident across all B queries) rather than a `jax.vmap` over
+    single-query pallas_calls — batching by grid is the TPU-idiomatic
+    form, and vmap-of-pallas_call hangs the compiler on some backends
+    (observed on the axon tunnel backend, 2026-08: same kernel compiles
+    unbatched in <1s but never finishes once vmap's batching rule prepends
+    the batch dim).  Queries are flattened to a [B*M, 1] column so every
+    block keeps the unbatched kernel's [tile_m, 1] shape (Mosaic requires
+    the minor block dim to be 128-divisible or full-size).
+    Returns (n_hits [B, M], e0 [B, M])."""
+    M, E = seed_hi.shape
+    assert M % tile_m == 0, (M, tile_m)
+    B = query_hi.shape[0]
+    nt = M // tile_m
+    grid = (nt, B)  # B minor: each seed tile stays resident across queries
+    kernel = functools.partial(_seed_locate_kernel, p=p)
+    qcol = pl.BlockSpec((tile_m, 1), lambda i, b: (b * nt + i, 0))
+    scol = pl.BlockSpec((tile_m, 1), lambda i, b: (i, 0))
+    tbl = pl.BlockSpec((tile_m, E), lambda i, b: (i, 0))
+    nh, e0 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[qcol, qcol, tbl, scol],
+        out_specs=[qcol, qcol],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * M, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B * M, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        query_hi.reshape(B * M, 1),
+        query_valid.astype(jnp.int32).reshape(B * M, 1),
+        seed_hi,
+        seed_cnt.astype(jnp.int32)[:, None],
+    )
+    return nh.reshape(B, M), e0.reshape(B, M)
+
+
 def _seed_match_kernel(
     qhi_ref, qlo_ref, qvalid_ref, shi_ref, slo_ref, cnt_ref, nh_ref, e0_ref, lcp_ref, *, p, k
 ):

@@ -795,6 +795,12 @@ class DevicePseudoAligner:
         results = [("host", None)] * n_win
         if n_win == 0:
             return results
+        from . import device_tripped
+
+        if device_tripped():  # hung-transport breaker: all windows to host
+            self.stats["windows"] += n_win
+            self.stats["host_windows"] += n_win
+            return results
         self.stats["windows"] += n_win
 
         # query routing
@@ -850,7 +856,12 @@ class DevicePseudoAligner:
             ak1, ak2, counts_d, flags_d = probe(*dev_in, *tables_d)
             chunk_out.append((idxs, ak1, ak2, counts_d))
             small.append((counts_d, flags_d))
-        fetched = jax.device_get(small)
+        from . import fetch_guarded
+
+        fetched = fetch_guarded(small, "device pseudo-align probe")
+        if fetched is None:  # watchdog tripped: every window to the host
+            self.stats["host_windows"] += n_win
+            return [("host", None)] * n_win
 
         # ---- route windows; bucket by anchor count, chunked chain calls ----
         pending = []
@@ -882,7 +893,12 @@ class DevicePseudoAligner:
                     out, cnt, flg = self._chain()(sub1, sub2, subc)
                     pending.append(([idxs[r] for r in part], out, cnt, flg))
 
-        fetched2 = jax.device_get([(o, c, f) for _, o, c, f in pending])
+        fetched2 = fetch_guarded(
+            [(o, c, f) for _, o, c, f in pending], "device pseudo-align chain"
+        )
+        if fetched2 is None:  # pending windows keep their ("host", None) default
+            self.stats["host_windows"] += n_win - len(dev_idx)
+            return results
         for (win_ids, *_), (out, cnt, flg) in zip(pending, fetched2):
             for k, i in enumerate(win_ids):
                 if k >= len(win_ids):

@@ -205,7 +205,7 @@ class ShardedSeedMatcher:
             return fn
         import jax.numpy as jnp
 
-        from .pallas_kernels import seed_locate_pallas
+        from .pallas_kernels import seed_locate_batch_pallas
 
         E, tile, _, _, _, mb_pad, _ = self.buckets[bucket_index]
         H = min(self.H_SHARD, mb_pad)
@@ -215,12 +215,12 @@ class ShardedSeedMatcher:
             # local shard: strip the leading tp axis (size 1 per shard)
             hi_l, cnt_l, gids_l = d_hi[0], d_cnt[0], d_gids[0]
             qh_l, qv_l = qh[:, 0], qv[:, 0]  # [Bl, mb_pad]
-            nh, e0 = jax.vmap(
-                lambda q, v: seed_locate_pallas(
-                    hi_l, cnt_l, q, v, p=min_prefix, tile_m=tile,
-                    interpret=interpret,
-                )
-            )(qh_l, qv_l)  # [Bl, mb_pad]
+            # whole-batch locate in ONE kernel (batch = grid dim;
+            # vmap-of-pallas_call hangs the axon backend's compiler)
+            nh, e0 = seed_locate_batch_pallas(
+                hi_l, cnt_l, qh_l, qv_l, p=min_prefix, tile_m=tile,
+                interpret=interpret,
+            )  # [Bl, mb_pad]
             hit = nh > 0
             keys = jnp.where(hit, gids_l[None, :], jnp.uint32(0xFFFFFFFF))
             # e0 and n ride as separate operands (e0 may exceed 2^16 for
@@ -279,7 +279,11 @@ class ShardedSeedMatcher:
             fn = self._bucket_fn(bi, min_prefix)
             pending.append(fn(d_hi, d_cnt, d_gids, sqh, sqv))
 
-        fetched = jax.device_get(pending)
+        from . import fetch_guarded
+
+        fetched = fetch_guarded(pending, "sharded seed matching")
+        if fetched is None:  # watchdog tripped: whole batch to host matching
+            return [None] * B
 
         per_query: list[list] = [[] for _ in range(B)]
         overflow = np.zeros(B, dtype=bool)

@@ -427,6 +427,10 @@ class DeviceWFA:
         from ..ops.wfa import wfa_align
 
         results = [None] * len(pairs)
+        from . import device_tripped
+
+        if device_tripped():  # hung-transport breaker: host WFA downstream
+            return results
         groups = {}
         for idx, (q, t) in enumerate(pairs):
             n, m = q.shape[0], t.shape[0]
@@ -478,12 +482,20 @@ class DeviceWFA:
                 tw = jax.device_put(tw, row_sh)
                 ns = jax.device_put(ns, vec_sh)
                 ms = jax.device_put(ms, vec_sh)
+            from . import fetch_guarded
+
             hist_M, hist_I, hist_D, los, done_s = fwd(qw, tw, ns, ms)
-            ops_a, cnts_a, ws, oks = tb(hist_M, hist_I, hist_D, los, done_s, ns, ms)
-            ops_a = np.asarray(ops_a)
-            cnts_a = np.asarray(cnts_a)
-            ws = np.asarray(ws)
-            oks = np.asarray(oks)
+            fetched = fetch_guarded(
+                tb(hist_M, hist_I, hist_D, los, done_s, ns, ms),
+                "device WFA",
+            )
+            if fetched is None:  # watchdog tripped: bucket to the host WFA
+                for idx in idxs:
+                    q, t = pairs[idx]
+                    r = wfa_align(q, t)
+                    results[idx] = r.ops if r is not None else None
+                continue
+            ops_a, cnts_a, ws, oks = fetched
             code2op = "MXID"
             for row, idx in enumerate(idxs):
                 if not oks[row]:
