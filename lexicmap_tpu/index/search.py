@@ -408,6 +408,22 @@ class IndexSearcher:
         kmers, capres = premasked if premasked is not None else self._mask_query(qcodes)
         rnew, rkmers, rorig = self._reversed_query_kmers(kmers)
 
+        from ..native import get_lib
+
+        # phase 2b fast path: postings gather + decode + genome grouping in
+        # ONE native call (collect_anchors, core.cpp) — the numpy tail below
+        # is the reference semantics and handles the filtered cases
+        use_native = (
+            get_lib() is not None
+            and not self.filter_by_taxid
+            and genome_codes is None
+            and not os.environ.get("LEXICMAP_TPU_NO_BATCH")
+        )
+        rec_chunk: list = []  # per matched entry: chunk idx, entry idx, lcp, mask
+        rec_eidx: list = []
+        rec_lcp: list = []
+        rec_qmask: list = []
+
         all_vals = []
         all_lcp = []
         all_qloc_entry = []  # per-hit: index of the orig mask (for query locs)
@@ -428,7 +444,7 @@ class IndexSearcher:
         if dev_hits is False:
             dev_hits = None
 
-        for rdr in self.chunks:
+        for ci, rdr in enumerate(self.chunks):
             # ---- prefix search ----
             mb, me = rdr.mask_begin, rdr.mask_end
             if dev_hits is not None:
@@ -463,26 +479,12 @@ class IndexSearcher:
                     eidx = np.empty(0, dtype=np.int64)
                     mi = qrow = lcp = eidx
             if eidx.shape[0]:
-                v_idx = _ranges_to_indices(
-                    np.asarray(rdr.entry_offsets[eidx]),
-                    np.asarray(rdr.entry_offsets[eidx + 1]),
-                )
-                per = np.asarray(rdr.entry_offsets[eidx + 1]) - np.asarray(
-                    rdr.entry_offsets[eidx]
-                )
-                all_vals.append(np.asarray(rdr.values[v_idx]))
-                all_lcp.append(np.repeat(lcp, per))
-                all_qloc_entry.append(np.repeat(mi[qrow], per))
-                all_rev.append(np.zeros(int(per.sum()), dtype=bool))
-
-            # ---- suffix search (reversed k-mers assigned to this chunk) ----
-            insel = (rnew >= mb) & (rnew < me)
-            if insel.any():
-                mi = rnew[insel]
-                qks = rkmers[insel]
-                orig = rorig[insel]
-                eidx, qrow, lcp = self._match_chunk(rdr, mi, qks, want_rev=True)
-                if eidx.shape[0]:
+                if use_native:
+                    rec_chunk.append(np.full(eidx.shape[0], ci, dtype=np.int32))
+                    rec_eidx.append(np.asarray(eidx, dtype=np.int64))
+                    rec_lcp.append(np.asarray(lcp, dtype=np.int64))
+                    rec_qmask.append(np.asarray(mi[qrow], dtype=np.int64))
+                else:
                     v_idx = _ranges_to_indices(
                         np.asarray(rdr.entry_offsets[eidx]),
                         np.asarray(rdr.entry_offsets[eidx + 1]),
@@ -492,8 +494,67 @@ class IndexSearcher:
                     )
                     all_vals.append(np.asarray(rdr.values[v_idx]))
                     all_lcp.append(np.repeat(lcp, per))
-                    all_qloc_entry.append(np.repeat(orig[qrow], per))
-                    all_rev.append(np.ones(int(per.sum()), dtype=bool))
+                    all_qloc_entry.append(np.repeat(mi[qrow], per))
+                    all_rev.append(np.zeros(int(per.sum()), dtype=bool))
+
+            # ---- suffix search (reversed k-mers assigned to this chunk) ----
+            insel = (rnew >= mb) & (rnew < me)
+            if insel.any():
+                mi = rnew[insel]
+                qks = rkmers[insel]
+                orig = rorig[insel]
+                eidx, qrow, lcp = self._match_chunk(rdr, mi, qks, want_rev=True)
+                if eidx.shape[0]:
+                    if use_native:
+                        rec_chunk.append(np.full(eidx.shape[0], ci, dtype=np.int32))
+                        rec_eidx.append(np.asarray(eidx, dtype=np.int64))
+                        rec_lcp.append(np.asarray(lcp, dtype=np.int64))
+                        rec_qmask.append(np.asarray(orig[qrow], dtype=np.int64))
+                    else:
+                        v_idx = _ranges_to_indices(
+                            np.asarray(rdr.entry_offsets[eidx]),
+                            np.asarray(rdr.entry_offsets[eidx + 1]),
+                        )
+                        per = np.asarray(rdr.entry_offsets[eidx + 1]) - np.asarray(
+                            rdr.entry_offsets[eidx]
+                        )
+                        all_vals.append(np.asarray(rdr.values[v_idx]))
+                        all_lcp.append(np.repeat(lcp, per))
+                        all_qloc_entry.append(np.repeat(orig[qrow], per))
+                        all_rev.append(np.ones(int(per.sum()), dtype=bool))
+
+        if use_native:
+            if not rec_eidx:
+                return {}
+            from ..native import collect_anchors_native
+
+            res = collect_anchors_native(
+                [
+                    (
+                        np.asarray(r.values).ctypes.data,
+                        np.asarray(r.entry_offsets).ctypes.data,
+                    )
+                    for r in self.chunks
+                ],
+                np.concatenate(rec_chunk),
+                np.concatenate(rec_eidx),
+                np.concatenate(rec_lcp),
+                np.concatenate(rec_qmask),
+                capres.pos_flat,
+                capres.pos_offsets,
+                capres.n_positions(),
+                k,
+            )
+            ref, bq, bt, ln, rcq, rct = res
+            if ref.shape[0] == 0:
+                return {}
+            bounds = np.nonzero(np.diff(ref))[0] + 1
+            starts = np.concatenate([[0], bounds])
+            ends = np.concatenate([bounds, [ref.shape[0]]])
+            return {
+                int(ref[s]): Anchors(bq[s:e], bt[s:e], ln[s:e], rcq[s:e], rct[s:e])
+                for s, e in zip(starts, ends)
+            }
 
         if not all_vals:
             return {}

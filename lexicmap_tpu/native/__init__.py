@@ -195,6 +195,15 @@ def get_lib():
         + [ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64]  # span_mode, span_buf, span_cap
         + [ctypes.c_void_p] * 3                      # inj_ops, inj_off, inj_len
     )
+    lib.collect_anchors.restype = ctypes.c_int64
+    lib.collect_anchors.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p,            # values_ptrs, eoff_ptrs
+        i32p, i64p, i64p, i64p, ctypes.c_int64,      # chunk_of_hit..n_hits
+        ctypes.c_void_p, i64p, i64p,                 # pos_flat, pos_off, npos
+        ctypes.c_int32,                              # k
+        i64p, i32p, i32p, i32p, i8p, i8p,            # outputs
+        ctypes.c_int64, i64p,                        # cap, need
+    ]
     lib.align_paths_batch.restype = None
     lib.align_paths_batch.argtypes = (
         [ctypes.c_void_p, ctypes.c_int64]            # qcodes
@@ -389,6 +398,50 @@ def clear_mark_native(qb, tb, ln, k):
         n, int(k), drop,
     )
     return drop.astype(bool)
+
+
+def collect_anchors_native(chunk_ptrs, chunk_of_hit, eidx, lcp, qmask,
+                           pos_flat, pos_off, npos, k):
+    """Phase 2b in one C call: postings gather + bit-slice decode + stable
+    genome grouping (mirror of the numpy tail of _collect_anchors).
+    chunk_ptrs: per chunk, (values_address, entry_offsets_address) of the
+    mmap'd columnar arrays.  Returns (ref, begin_q, begin_t, length, rc_q,
+    rc_t) with anchors stably grouped by ascending genome code, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_hits = int(eidx.shape[0])
+    vptr = np.array([a for a, _ in chunk_ptrs], dtype=np.uint64)
+    eptr = np.array([b for _, b in chunk_ptrs], dtype=np.uint64)
+    chunk_of_hit = np.ascontiguousarray(chunk_of_hit, dtype=np.int32)
+    eidx = np.ascontiguousarray(eidx, dtype=np.int64)
+    lcp = np.ascontiguousarray(lcp, dtype=np.int64)
+    qmask = np.ascontiguousarray(qmask, dtype=np.int64)
+    pos_flat = np.ascontiguousarray(pos_flat, dtype=np.uint32)
+    pos_off = np.ascontiguousarray(pos_off, dtype=np.int64)
+    npos = np.ascontiguousarray(npos, dtype=np.int64)
+    need = np.zeros(1, dtype=np.int64)
+    cap = max(8 * n_hits, 4096)
+    while True:
+        ref = np.empty(cap, dtype=np.int64)
+        bq = np.empty(cap, dtype=np.int32)
+        bt = np.empty(cap, dtype=np.int32)
+        ln = np.empty(cap, dtype=np.int32)
+        rcq = np.empty(cap, dtype=np.uint8)
+        rct = np.empty(cap, dtype=np.uint8)
+        w = lib.collect_anchors(
+            vptr.ctypes.data, eptr.ctypes.data,
+            chunk_of_hit, eidx, lcp, qmask, n_hits,
+            pos_flat.ctypes.data, pos_off, npos, int(k),
+            ref, bq, bt, ln, rcq, rct, cap, need,
+        )
+        if w == -1:
+            cap = int(need[0])
+            continue
+        return (
+            ref[:w], bq[:w], bt[:w], ln[:w],
+            rcq[:w].astype(bool), rct[:w].astype(bool),
+        )
 
 
 def align_paths_batch_native(ctx_args_list, threads=0):

@@ -2052,6 +2052,107 @@ int64_t align_paths(
 }
 
 // ---------------------------------------------------------------------------
+// Phase 2b: postings gather + bit-slice decode + genome grouping for one
+// query in a single pass (mirror of index/search.py::_collect_anchors's
+// numpy tail; posting layout ref: lib-index-build.go:412-455, coordinate
+// fix-ups ref: lib-index-search.go:1455-1483).
+//
+// Hits arrive as the concatenated per-chunk match results (the same order
+// the numpy path concatenates: per chunk, forward block then suffix
+// block); per chunk the values / entry_offsets base pointers differ
+// (mmap'd columnar chunks), so they come as pointer tables indexed by
+// chunk_of_hit.  Expansion order is value-major, query-location-minor —
+// identical to np.repeat.  Output anchors are stably grouped by genome
+// code ascending (the numpy path's stable argsort over ref_idx).
+//
+// Returns the anchor count, or -1 when cap is insufficient (required size
+// in *need; caller re-allocates and retries).
+int64_t collect_anchors(
+    const uint64_t* const* values_ptrs, const int64_t* const* eoff_ptrs,
+    const int32_t* chunk_of_hit, const int64_t* eidx,
+    const int64_t* lcp, const int64_t* qmask, int64_t n_hits,
+    const uint32_t* pos_flat, const int64_t* pos_off, const int64_t* npos,
+    int32_t k,
+    int64_t* out_ref,
+    int32_t* out_bq, int32_t* out_bt, int32_t* out_len,
+    uint8_t* out_rcq, uint8_t* out_rct,
+    int64_t cap, int64_t* need) {
+    // pass 1: total expansion size
+    int64_t total = 0;
+    for (int64_t h = 0; h < n_hits; ++h) {
+        const int64_t* eoff = eoff_ptrs[chunk_of_hit[h]];
+        const int64_t e = eidx[h];
+        total += (eoff[e + 1] - eoff[e]) * npos[qmask[h]];
+    }
+    *need = total;
+    if (total > cap) return -1;
+
+    // pass 2: gather + decode in input order
+    std::vector<int64_t> ref((size_t)total);
+    std::vector<int32_t> bq((size_t)total), bt((size_t)total), ln((size_t)total);
+    std::vector<uint8_t> rcq((size_t)total), rct((size_t)total);
+    int64_t w = 0;
+    for (int64_t h = 0; h < n_hits; ++h) {
+        const int32_t c = chunk_of_hit[h];
+        const int64_t* eoff = eoff_ptrs[c];
+        const uint64_t* values = values_ptrs[c];
+        const int64_t e = eidx[h];
+        const int64_t m = qmask[h];
+        const int64_t np_ = npos[m];
+        if (np_ == 0) continue;
+        const int64_t l = lcp[h];
+        const int32_t kl = (int32_t)l;
+        const int64_t p0 = pos_off[m];
+        for (int64_t vi = eoff[e]; vi < eoff[e + 1]; ++vi) {
+            const uint64_t v = values[vi];
+            // posting decode (constants.py: BITS_NONE_IDX=30, BITS_IDX=34,
+            // BITS_IDX_FLAGS=36)
+            const int64_t ridx = (int64_t)(v >> 30);
+            const int64_t pos_t = (int64_t)((v << 34) >> 36);
+            const bool rv_t = (v & 1) != 0;
+            const bool rc_t = ((v >> 1) & 1) != 0;
+            for (int64_t pi = 0; pi < np_; ++pi) {
+                const uint32_t qloc = pos_flat[p0 + pi];
+                const bool rc_q = (qloc & 1) != 0;
+                const int64_t pos_q = (int64_t)(qloc >> 1);
+                // coordinate fix-ups (lib-index-search.go:1455-1483)
+                int64_t begin_q, begin_t;
+                if (!rv_t) {
+                    begin_q = rc_q ? pos_q + k - l : pos_q;
+                    begin_t = rc_t ? pos_t + k - l : pos_t;
+                } else {
+                    begin_q = rc_q ? pos_q : pos_q + k - l;
+                    begin_t = rc_t ? pos_t : pos_t + k - l;
+                }
+                ref[(size_t)w] = ridx;
+                bq[(size_t)w] = (int32_t)begin_q;
+                bt[(size_t)w] = (int32_t)begin_t;
+                ln[(size_t)w] = kl;
+                rcq[(size_t)w] = rc_q ? 1 : 0;
+                rct[(size_t)w] = rc_t ? 1 : 0;
+                ++w;
+            }
+        }
+    }
+
+    // pass 3: stable group by genome code ascending
+    std::vector<int64_t> order((size_t)w);
+    std::iota(order.begin(), order.end(), 0);
+    std::stable_sort(order.begin(), order.end(),
+                     [&](int64_t a, int64_t b) { return ref[(size_t)a] < ref[(size_t)b]; });
+    for (int64_t i = 0; i < w; ++i) {
+        const size_t s = (size_t)order[(size_t)i];
+        out_ref[i] = ref[s];
+        out_bq[i] = bq[s];
+        out_bt[i] = bt[s];
+        out_len[i] = ln[s];
+        out_rcq[i] = rcq[s];
+        out_rct[i] = rct[s];
+    }
+    return w;
+}
+
+// ---------------------------------------------------------------------------
 // Batched phase 4 for the MANY-HIT regime: align_paths for many genomes of
 // one query in a single call, threaded across genomes (each genome's work is
 // independent; the per-genome Python marshaling of ~50 ctypes args costs
