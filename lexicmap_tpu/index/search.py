@@ -1290,11 +1290,32 @@ class IndexSearcher:
                 kept.append(c)
             prepped = []  # handled
 
-        for c, start, end, ext2 in prepped:
-            qseq, tseq, s1, e1, s2, e2 = extend_match(
-                qcodes, tcodes, c.qbegin, c.qend + 1, start, end,
-                ext2, c.tbegin, c.max_ext_len, rc,
+        # -a with --wfa device: the device WFA emits full op streams, which
+        # is exactly what the 24-col text assembly consumes — batch the
+        # whole group's alignments in one device call (bit-exact with the
+        # host WFA; None entries fall back per chain below)
+        dev_ops = None
+        ext_cache = None
+        if prepped and opt.output_seq and self.device_wfa is not None:
+            ext_cache = [
+                extend_match(
+                    qcodes, tcodes, c.qbegin, c.qend + 1, start, end,
+                    ext2, c.tbegin, c.max_ext_len, rc,
+                )
+                for c, start, end, ext2 in prepped
+            ]
+            dev_ops = self.device_wfa.align_batch(
+                [(qs, ts) for qs, ts, *_ in ext_cache]
             )
+
+        for pi_, (c, start, end, ext2) in enumerate(prepped):
+            if ext_cache is not None:
+                qseq, tseq, s1, e1, s2, e2 = ext_cache[pi_]
+            else:
+                qseq, tseq, s1, e1, s2, e2 = extend_match(
+                    qcodes, tcodes, c.qbegin, c.qend + 1, start, end,
+                    ext2, c.tbegin, c.max_ext_len, rc,
+                )
             # fast path (no -a output): WFA + trimmed stats in one native
             # call; identical numbers to the RLE-tuple path
             fast = None
@@ -1313,7 +1334,19 @@ class IndexSearcher:
                 bits, evalue = score_to_bit_evalue(score, len(qseq), self.total_bases)
                 cigar = None
             else:
-                cigar = wfa_align(qseq, tseq)
+                cigar = None
+                if dev_ops is not None and dev_ops[pi_] is not None:
+                    from ..ops.align import _finalize
+
+                    ops_d = dev_ops[pi_]
+                    cost = sum(
+                        cnt * 4 if op == "X" else (6 + cnt * 2)
+                        for op, cnt in ops_d
+                        if op in "XID"
+                    )
+                    cigar = _finalize(ops_d, cost, len(qseq), len(tseq))
+                if cigar is None:
+                    cigar = wfa_align(qseq, tseq)
                 if cigar is None:  # fallback: banded Gotoh
                     cigar = align(qseq, tseq)
                 trimmed = cigar.trimmed_ops()

@@ -84,3 +84,44 @@ def test_device_wfa_batch_mixed_buckets():
     for i, (q, t) in enumerate(pairs):
         want = wfa_align(q, t)
         assert got[i] == want.ops, f"case {i}"
+
+
+def test_output_seq_with_device_wfa_byte_identical():
+    """-a (24-col) output with --wfa device must be byte-identical to the
+    host path: the group's WFA runs as one device batch and the op streams
+    feed the cigar/qseq/sseq/align assembly (search.py _flush_hsp_group)."""
+    import os
+
+    DEMO_DB = os.environ.get("LEXICMAP_TPU_DEMO_DB", "/tmp/demo.lmt")
+    if not os.path.exists(os.path.join(DEMO_DB, "info.json")):
+        pytest.skip("demo index not built")
+    from lexicmap_tpu.cli import format_hit_rows
+    from lexicmap_tpu.index.search import IndexSearcher, SearchOptions
+    from lexicmap_tpu.utils.fasta import read_fastx
+
+    rec = next(iter(read_fastx("/root/reference/demo/q.gene.fasta")))
+    rows = {}
+    calls = {"n": 0}
+    orig = DeviceWFA.align_batch
+
+    def counting(self, pairs):
+        calls["n"] += 1
+        return orig(self, pairs)
+
+    DeviceWFA.align_batch = counting
+    try:
+        for eng in ("host", "device"):
+            s = IndexSearcher(
+                DEMO_DB, SearchOptions(output_seq=True, top_n=2, wfa_engine=eng)
+            )
+            hits = s.search_bytes(rec.seq)
+            rows[eng] = list(
+                format_hit_rows(rec.id.decode(), len(rec.seq), hits, all_columns=True)
+            )
+            assert rows[eng], eng
+    finally:
+        DeviceWFA.align_batch = orig
+    assert calls["n"] > 0, "-a run never reached the device WFA"
+    assert rows["device"] == rows["host"]
+    if rows["device"]:
+        assert rows["device"][0].count("\t") == 23  # 24 columns
