@@ -59,11 +59,16 @@ def main() -> None:
     dt = time.time() - t0
     hits = [len(r) for r in res]
     rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+    tripped = ""
+    if engine == "device":
+        from lexicmap_tpu.parallel import device_tripped
+
+        tripped = f" device_tripped={device_tripped()}"
     print(
         f"engine={engine} queries={n_q} wall={dt:.2f}s "
         f"rate={n_q / dt * 60:.0f} q/min "
         f"genome_hits/query={np.mean(hits):.0f} "
-        f"hits/s={sum(hits) / dt:.0f} peak_rss={rss_mb:.0f} MB"
+        f"hits/s={sum(hits) / dt:.0f} peak_rss={rss_mb:.0f} MB{tripped}"
     )
 
 

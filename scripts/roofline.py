@@ -55,16 +55,33 @@ def audit_seed_locate(iters: int):
     qh0 = jnp.asarray(rng.integers(0, 2**32, (B, M), dtype=np.uint64).astype(np.uint32))
     qv = jnp.asarray(np.ones((B, M), np.int32))
 
-    @jax.jit
-    def chained(qh):
-        def body(i, qh):
-            nh, e0 = seed_locate_batch_pallas(
-                seed_hi, seed_cnt, qh, qv, p=15, tile_m=tile
-            )
-            # data dependency without changing values: nh >= 0 always
-            return qh ^ (nh * 0).astype(jnp.uint32)
+    unroll = os.environ.get("ROOFLINE_UNROLL")
+    if unroll:
+        # straight-line chain (no fori_loop): K sequential pallas calls in
+        # one program — avoids loop-of-pallas if the backend chokes on it
+        iters = min(iters, int(unroll))
 
-        return jax.lax.fori_loop(0, iters, body, qh)
+        @jax.jit
+        def chained(qh):
+            for _ in range(iters):
+                nh, e0 = seed_locate_batch_pallas(
+                    seed_hi, seed_cnt, qh, qv, p=15, tile_m=tile
+                )
+                qh = qh ^ (nh * 0).astype(jnp.uint32)
+            return qh
+
+    else:
+
+        @jax.jit
+        def chained(qh):
+            def body(i, qh):
+                nh, e0 = seed_locate_batch_pallas(
+                    seed_hi, seed_cnt, qh, qv, p=15, tile_m=tile
+                )
+                # data dependency without changing values: nh >= 0 always
+                return qh ^ (nh * 0).astype(jnp.uint32)
+
+            return jax.lax.fori_loop(0, iters, body, qh)
 
     chained(qh0).block_until_ready()  # compile
     t0 = time.perf_counter()
