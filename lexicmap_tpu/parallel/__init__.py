@@ -90,6 +90,7 @@ def trip_device(reason: str) -> None:
 
 
 _first_fetch_done = False
+fetch_count = 0  # guarded device fetches this process (dispatch-budget accounting)
 
 
 def fetch_guarded(tree, what: str = "device dispatch", timeout: float | None = None):
@@ -100,9 +101,10 @@ def fetch_guarded(tree, what: str = "device dispatch", timeout: float | None = N
     Default timeout: 300 s for the first fetch of the process (cold compiles
     through the tunnel legitimately take minutes), 60 s once any fetch has
     completed (warm dispatches finish in well under a second)."""
-    global _first_fetch_done
+    global _first_fetch_done, fetch_count
     if _tripped:
         return None
+    fetch_count += 1
     import jax
 
     if timeout is None:

@@ -23,13 +23,19 @@ def main():
     rec = next(read_fastx(QUERY))
     seqs = [rec.seq] * N
 
+    from lexicmap_tpu import parallel
+
     idx_d = IndexSearcher(DB, SearchOptions(engine="device"))
     idx_d.search_many(seqs[:32])  # warm (compiles)
+    f0 = parallel.fetch_count
     t0 = time.time()
     out = idx_d.search_many(seqs)
     dt = time.time() - t0
+    nf = parallel.fetch_count - f0
     print(f"device engine: {dt:.2f}s for {N} queries = {dt/N*1000:.1f}ms/q "
-          f"= {N/dt*60:.0f} q/min; stats={idx_d._device_engine.pseudo.stats}")
+          f"= {N/dt*60:.0f} q/min; {nf} guarded fetches "
+          f"({nf/max(N//32,1):.1f}/32-q batch); "
+          f"stats={idx_d._device_engine.pseudo.stats}")
 
     idx_h = IndexSearcher(DB, SearchOptions())
     idx_h.search_bytes(rec.seq)  # warm
