@@ -89,7 +89,7 @@ def trip_device(reason: str) -> None:
         )
 
 
-_first_fetch_done = False
+_warm_whats: set = set()  # call sites that have completed a fetch (per-stage warm)
 fetch_count = 0  # guarded device fetches this process (dispatch-budget accounting)
 
 
@@ -98,10 +98,12 @@ def fetch_guarded(tree, what: str = "device dispatch", timeout: float | None = N
     when the breaker is (or just got) tripped — the caller must fall back
     to its host path.  The abandoned fetch thread dies with the process.
 
-    Default timeout: 300 s for the first fetch of the process (cold compiles
-    through the tunnel legitimately take minutes), 60 s once any fetch has
-    completed (warm dispatches finish in well under a second)."""
-    global _first_fetch_done, fetch_count
+    Default timeout: 300 s for the first fetch of each call-site label
+    (cold compiles through the tunnel legitimately take minutes, and each
+    stage pays its own first compile even after another stage is warm),
+    60 s once a fetch with the same label has completed (warm dispatches
+    finish in well under a second)."""
+    global fetch_count
     if _tripped:
         return None
     fetch_count += 1
@@ -112,7 +114,7 @@ def fetch_guarded(tree, what: str = "device dispatch", timeout: float | None = N
         if env is not None:
             timeout = float(env)
         else:
-            timeout = 300.0 if not _first_fetch_done else 60.0
+            timeout = 300.0 if what not in _warm_whats else 60.0
     if timeout <= 0:
         return jax.device_get(tree)
     import threading
@@ -134,5 +136,5 @@ def fetch_guarded(tree, what: str = "device dispatch", timeout: float | None = N
         return None
     if "e" in box:
         raise box["e"]
-    _first_fetch_done = True
+    _warm_whats.add(what)
     return box["v"]

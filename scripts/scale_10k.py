@@ -99,3 +99,8 @@ if __name__ == "__main__":
     steps = sys.argv[1:] or ["gen", "build", "search"]
     for s in steps:
         {"gen": gen, "build": build, "search": search}[s]()
+    # a timed-out device fetch leaves a thread blocked in the runtime that
+    # aborts normal interpreter teardown
+    from lexicmap_tpu.parallel import hard_exit_if_abandoned
+
+    hard_exit_if_abandoned(0)

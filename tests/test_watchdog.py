@@ -14,9 +14,11 @@ import lexicmap_tpu.parallel as par
 @pytest.fixture
 def breaker_reset():
     """Save/restore the module-global breaker state around each test."""
-    saved = (par._tripped, list(par._abandoned), par._first_fetch_done)
+    saved = (par._tripped, list(par._abandoned), set(par._warm_whats))
     yield
-    par._tripped, par._first_fetch_done = saved[0], saved[2]
+    par._tripped = saved[0]
+    par._warm_whats.clear()
+    par._warm_whats.update(saved[2])
     par._abandoned.clear()
     par._abandoned.extend(saved[1])
 
