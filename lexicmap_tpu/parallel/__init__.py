@@ -89,34 +89,95 @@ def trip_device(reason: str) -> None:
         )
 
 
-_warm_whats: set = set()  # call sites that have completed a fetch (per-stage warm)
+_warm_whats: set = set()  # (label, compile_key) pairs that have completed a fetch
 fetch_count = 0  # guarded device fetches this process (dispatch-budget accounting)
 
+# Per-stage transport accounting: label -> {fetches, d2h_bytes, h2d_bytes}.
+# d2h is counted by fetch_guarded on every successful fetch; h2d is counted
+# by count_h2d() at each device-stage upload site.  Benches read
+# transport_summary() to tabulate the per-regime transport budget
+# (bytes moved x tunnel ms/MB + fetches x RTT) against the observed
+# device-host gap — the device claim in any doc must be backed by this.
+transport: dict = {}
 
-def fetch_guarded(tree, what: str = "device dispatch", timeout: float | None = None):
+
+def _tacc(label: str) -> dict:
+    return transport.setdefault(label, {"fetches": 0, "d2h_bytes": 0, "h2d_bytes": 0})
+
+
+def _tree_bytes(trees) -> int:
+    n = 0
+    for tree in trees:
+        if tree is None:
+            continue
+        if isinstance(tree, (list, tuple)):
+            n += _tree_bytes(tree)
+            continue
+        n += int(getattr(tree, "nbytes", 0))
+    return n
+
+
+def count_h2d(label: str, *trees) -> int:
+    """Record host->device upload bytes for a stage label; returns bytes."""
+    n = _tree_bytes(trees)
+    _tacc(label)["h2d_bytes"] += n
+    return n
+
+
+def transport_summary() -> dict:
+    """Snapshot of per-stage transport counters (plus process totals)."""
+    tot = {"fetches": 0, "d2h_bytes": 0, "h2d_bytes": 0}
+    out = {}
+    for k, v in transport.items():
+        out[k] = dict(v)
+        for f in tot:
+            tot[f] += v[f]
+    out["TOTAL"] = tot
+    return out
+
+
+def fetch_guarded(
+    tree,
+    what: str = "device dispatch",
+    timeout: float | None = None,
+    compile_key=None,
+):
     """jax.device_get with a watchdog.  Returns the fetched tree, or None
     when the breaker is (or just got) tripped — the caller must fall back
     to its host path.  The abandoned fetch thread dies with the process.
 
-    Default timeout: 300 s for the first fetch of each call-site label
-    (cold compiles through the tunnel legitimately take minutes, and each
-    stage pays its own first compile even after another stage is warm),
-    60 s once a fetch with the same label has completed (warm dispatches
-    finish in well under a second)."""
+    Default timeout: 300 s for the first fetch of each (call-site label,
+    compile_key) pair (cold compiles through the tunnel legitimately take
+    minutes, and each stage pays its own first compile even after another
+    stage is warm), 60 s once a fetch with the same pair has completed
+    (warm dispatches finish in well under a second).
+
+    compile_key: the shape-bucket / specialization key of the program(s)
+    behind this fetch.  Device stages compile per shape bucket (chain DP
+    per n_pad, WFA per (N,M,S,W,B_pad), ...), so a new bucket after the
+    label is warm still pays a fresh multi-minute tunnel compile — it must
+    get the cold grace, not the 60 s warm timeout."""
     global fetch_count
     if _tripped:
         return None
     fetch_count += 1
     import jax
 
+    wkey = (what, compile_key)
     if timeout is None:
         env = os.environ.get("LEXICMAP_TPU_DEVICE_TIMEOUT")
         if env is not None:
             timeout = float(env)
         else:
-            timeout = 300.0 if what not in _warm_whats else 60.0
+            timeout = 300.0 if wkey not in _warm_whats else 60.0
     if timeout <= 0:
-        return jax.device_get(tree)
+        v = jax.device_get(tree)
+        acc = _tacc(what)
+        acc["fetches"] += 1
+        acc["d2h_bytes"] += sum(
+            int(getattr(l, "nbytes", 0)) for l in jax.tree_util.tree_leaves(v)
+        )
+        return v
     import threading
 
     box: dict = {}
@@ -136,5 +197,10 @@ def fetch_guarded(tree, what: str = "device dispatch", timeout: float | None = N
         return None
     if "e" in box:
         raise box["e"]
-    _warm_whats.add(what)
+    _warm_whats.add(wkey)
+    acc = _tacc(what)
+    acc["fetches"] += 1
+    acc["d2h_bytes"] += sum(
+        int(getattr(l, "nbytes", 0)) for l in jax.tree_util.tree_leaves(box["v"])
+    )
     return box["v"]

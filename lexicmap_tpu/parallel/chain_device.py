@@ -258,6 +258,9 @@ class DeviceChainer:
                 tb[B:] = tb[0]
                 ln[B:] = ln[0]
                 ns[B:] = ns[0]
+            from . import count_h2d
+
+            count_h2d("device chain DP", qb, tb, ln, ns)
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -273,6 +276,7 @@ class DeviceChainer:
             fetched = fetch_guarded(
                 self._fn(n_pad)(qb, tb, ln, ns, self._gtab_dev),
                 "device chain DP",
+                compile_key=n_pad,
             )
             if fetched is None:  # watchdog tripped: bucket to the host chainer
                 for idx in idxs:

@@ -227,11 +227,21 @@ class DeviceSeedMatcher:
             qv_b = np.zeros((B, mb_pad), dtype=np.int32)
             qv_b[:, : ids.shape[0]] = sel[:, ids]
             fn = self._bucket_fn(bi, min_prefix)
+            from . import count_h2d
+
+            count_h2d("device seed matching", qh_b, qv_b)
             pending.append(fn(d_hi, d_cnt, d_ids, jnp.asarray(qh_b), jnp.asarray(qv_b)))
 
         from . import fetch_guarded
 
-        fetched = fetch_guarded(pending, "device seed matching")
+        fetched = fetch_guarded(
+            pending,
+            "device seed matching",
+            compile_key=(
+                min_prefix,
+                tuple((E, tile, mb) for E, tile, _, _, _, mb, _ in self.buckets),
+            ),
+        )
         if fetched is None:  # watchdog tripped: whole batch to host matching
             return [None] * B
 

@@ -831,6 +831,9 @@ class DevicePseudoAligner:
             qkh[qi] = kh
             qkl[qi] = kl
             qv_a[qi] = v
+        from . import count_h2d
+
+        count_h2d("device pseudo-align probe", qkh, qkl, qv_a)
         tables_d = self._put_replicated((qkh, qkl, qv_a))
 
         # ---- probe in fixed-size chunks (bounded compile variants) ----
@@ -852,19 +855,23 @@ class DevicePseudoAligner:
                 qidx_a[row] = qidx
                 begin_a[row] = begin
                 end_a[row] = end
+            count_h2d("device pseudo-align probe", packed, wlen, qidx_a, begin_a, end_a)
             dev_in = self._put_windows((packed, wlen, qidx_a, begin_a, end_a))
             ak1, ak2, counts_d, flags_d = probe(*dev_in, *tables_d)
             chunk_out.append((idxs, ak1, ak2, counts_d))
             small.append((counts_d, flags_d))
         from . import fetch_guarded
 
-        fetched = fetch_guarded(small, "device pseudo-align probe")
+        fetched = fetch_guarded(
+            small, "device pseudo-align probe", compile_key=(NQ, WC)
+        )
         if fetched is None:  # watchdog tripped: every window to the host
             self.stats["host_windows"] += n_win
             return [("host", None)] * n_win
 
         # ---- route windows; bucket by anchor count, chunked chain calls ----
         pending = []
+        chain_shapes: set = set()  # (Wb, A_b) compile buckets used this call
         for (idxs, ak1, ak2, counts_d), (counts, flags) in zip(chunk_out, fetched):
             by_bucket = {}
             for row, i in enumerate(idxs):
@@ -880,10 +887,12 @@ class DevicePseudoAligner:
                 by_bucket.setdefault(_bucket(n, A_BUCKETS), []).append(row)
             for A_b, rows in sorted(by_bucket.items()):
                 Wb = WB_OF_A[A_b]
+                chain_shapes.add((Wb, A_b))
                 for o in range(0, len(rows), Wb):
                     part = rows[o: o + Wb]
                     ridx = np.zeros(Wb, dtype=np.int32)
                     ridx[: len(part)] = part
+                    count_h2d("device pseudo-align chain", ridx)
                     ridx_d = jax.device_put(ridx)
                     sub1 = ak1[ridx_d][:, :A_b]
                     sub2 = ak2[ridx_d][:, :A_b]
@@ -894,7 +903,9 @@ class DevicePseudoAligner:
                     pending.append(([idxs[r] for r in part], out, cnt, flg))
 
         fetched2 = fetch_guarded(
-            [(o, c, f) for _, o, c, f in pending], "device pseudo-align chain"
+            [(o, c, f) for _, o, c, f in pending],
+            "device pseudo-align chain",
+            compile_key=tuple(sorted(chain_shapes)),
         )
         if fetched2 is None:  # pending windows keep their ("host", None) default
             self.stats["host_windows"] += n_win - len(dev_idx)

@@ -274,6 +274,9 @@ class ShardedSeedMatcher:
             for s, ids in enumerate(ids_per_shard):
                 qh[:, s, : ids.shape[0]] = qh_full[:, ids]
                 qv[:, s, : ids.shape[0]] = sel[:, ids]
+            from . import count_h2d
+
+            count_h2d("sharded seed matching", qh, qv)
             sqh = _gput(qh, NamedSharding(self.mesh, P("dp", "tp", None)))
             sqv = _gput(qv, NamedSharding(self.mesh, P("dp", "tp", None)))
             fn = self._bucket_fn(bi, min_prefix)
@@ -281,7 +284,15 @@ class ShardedSeedMatcher:
 
         from . import fetch_guarded
 
-        fetched = fetch_guarded(pending, "sharded seed matching")
+        fetched = fetch_guarded(
+            pending,
+            "sharded seed matching",
+            compile_key=(
+                min_prefix,
+                b_pad,
+                tuple((E, tile, mb) for E, tile, _, _, _, mb, _ in self.buckets),
+            ),
+        )
         if fetched is None:  # watchdog tripped: whole batch to host matching
             return [None] * B
 

@@ -471,6 +471,9 @@ class DeviceWFA:
                 tw[B:] = tw[0]
                 ns[B:] = ns[0]
                 ms[B:] = ms[0]
+            from . import count_h2d
+
+            count_h2d("device WFA", qw, tw, ns, ms)
             if self.mesh is not None:
                 import jax
                 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -488,6 +491,7 @@ class DeviceWFA:
             fetched = fetch_guarded(
                 tb(hist_M, hist_I, hist_D, los, done_s, ns, ms),
                 "device WFA",
+                compile_key=(b, B_pad),
             )
             if fetched is None:  # watchdog tripped: bucket to the host WFA
                 for idx in idxs:

@@ -16,7 +16,12 @@ Chip model (TPU v5 lite / v5e, one chip):
                  ~3.9e12 ops/s   (vector units only; the MXU does not help
                  these elementwise/DP kernels)
 
-Usage: python scripts/roofline.py [iters]
+Usage: python scripts/roofline.py [k2]
+  k2 = depth of the LONG chain in the two-depth fit (default 96; values
+  below 96 are clamped up to 96).  The short chain is fixed at k1=8; the
+  fit t(K) = RTT + K*kern across the two depths separates transport from
+  kernel time, so k2 only controls fit leverage, not the iteration count
+  of a single timing loop.
 Writes a markdown table to stdout; docs/performance.md quotes the result.
 """
 

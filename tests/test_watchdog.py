@@ -14,13 +14,17 @@ import lexicmap_tpu.parallel as par
 @pytest.fixture
 def breaker_reset():
     """Save/restore the module-global breaker state around each test."""
-    saved = (par._tripped, list(par._abandoned), set(par._warm_whats))
+    saved = (par._tripped, list(par._abandoned), set(par._warm_whats),
+             par.fetch_count, dict(par.transport))
     yield
     par._tripped = saved[0]
     par._warm_whats.clear()
     par._warm_whats.update(saved[2])
     par._abandoned.clear()
     par._abandoned.extend(saved[1])
+    par.fetch_count = saved[3]
+    par.transport.clear()
+    par.transport.update(saved[4])
 
 
 def test_fetch_guarded_passthrough(breaker_reset):
@@ -52,6 +56,40 @@ def test_fetch_guarded_trips_on_hang(breaker_reset, monkeypatch):
     assert par.fetch_guarded(object(), "after trip", timeout=30) is None
     assert time.time() - t0 < 0.1
     assert calls == []
+
+
+def test_warm_set_is_per_compile_key(breaker_reset):
+    """A completed fetch warms only its (label, compile_key) pair: a new
+    shape bucket under the same label must still get the cold timeout
+    (device stages compile per shape bucket; a fresh bucket pays a fresh
+    multi-minute tunnel compile)."""
+    import numpy as np
+
+    x = jax.numpy.asarray(np.arange(4))
+    par._warm_whats.clear()
+    assert par.fetch_guarded(x, "stage", timeout=30, compile_key=128) is not None
+    assert ("stage", 128) in par._warm_whats
+    assert ("stage", 256) not in par._warm_whats
+    assert ("stage", None) not in par._warm_whats
+
+
+def test_transport_accounting(breaker_reset):
+    """fetch_guarded counts fetches + d2h bytes per label; count_h2d counts
+    upload bytes.  The per-regime transport budget tables are built from
+    these counters, so they must be exact."""
+    import numpy as np
+
+    par.transport.pop("acct-test", None)
+    x = jax.numpy.asarray(np.zeros(1024, np.int32))
+    par.fetch_guarded(x, "acct-test", timeout=30)
+    s = par.transport_summary()
+    assert s["acct-test"]["fetches"] == 1
+    assert s["acct-test"]["d2h_bytes"] == 4096
+    par.count_h2d("acct-test", np.zeros((2, 8), np.int32),
+                  [np.zeros(4, np.int8), None])
+    s = par.transport_summary()
+    assert s["acct-test"]["h2d_bytes"] == 64 + 4
+    assert s["TOTAL"]["d2h_bytes"] >= 4096
 
 
 def test_fetch_guarded_propagates_errors(breaker_reset, monkeypatch):
