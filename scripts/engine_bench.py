@@ -28,6 +28,7 @@ def main():
     idx_d = IndexSearcher(DB, SearchOptions(engine="device"))
     idx_d.search_many(seqs[:32])  # warm (compiles)
     f0 = parallel.fetch_count
+    snap = {k: dict(v) for k, v in parallel.transport.items()}
     t0 = time.time()
     out = idx_d.search_many(seqs)
     dt = time.time() - t0
@@ -35,7 +36,16 @@ def main():
     print(f"device engine: {dt:.2f}s for {N} queries = {dt/N*1000:.1f}ms/q "
           f"= {N/dt*60:.0f} q/min; {nf} guarded fetches "
           f"({nf/max(N//32,1):.1f}/32-q batch); "
-          f"stats={idx_d._device_engine.pseudo.stats}")
+          f"stats={idx_d._device_engine.pseudo.stats}; "
+          f"tripped={parallel.device_tripped()}")
+    print(f"transport per stage (measured run only, {N} queries):")
+    for k, v in parallel.transport_summary().items():
+        s = snap.get(k, {"fetches": 0, "d2h_bytes": 0, "h2d_bytes": 0})
+        if k == "TOTAL":
+            s = {f: sum(x[f] for x in snap.values()) for f in s}
+        df, dh, du = (v["fetches"] - s["fetches"], v["d2h_bytes"] - s["d2h_bytes"],
+                      v["h2d_bytes"] - s["h2d_bytes"])
+        print(f"  {k}: {df} fetches, h2d {du/1e6:.2f} MB, d2h {dh/1e6:.2f} MB")
 
     idx_h = IndexSearcher(DB, SearchOptions())
     idx_h.search_bytes(rec.seq)  # warm

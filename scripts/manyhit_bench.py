@@ -54,6 +54,11 @@ def main() -> None:
     # warm-up (mmap pages, native lib, device compile)
     idx.search_many([qs[0]])
 
+    snap = {}
+    if engine == "device":
+        from lexicmap_tpu import parallel
+
+        snap = {k: dict(v) for k, v in parallel.transport.items()}
     t0 = time.time()
     res = idx.search_many(qs)
     dt = time.time() - t0
@@ -70,6 +75,17 @@ def main() -> None:
         f"genome_hits/query={np.mean(hits):.0f} "
         f"hits/s={sum(hits) / dt:.0f} peak_rss={rss_mb:.0f} MB{tripped}"
     )
+    if engine == "device":
+        from lexicmap_tpu import parallel
+
+        print(f"transport per stage (measured run only, {n_q} queries):")
+        for k, v in parallel.transport_summary().items():
+            s = snap.get(k, {"fetches": 0, "d2h_bytes": 0, "h2d_bytes": 0})
+            if k == "TOTAL":
+                s = {f: sum(x[f] for x in snap.values()) for f in s}
+            print(f"  {k}: {v['fetches'] - s['fetches']} fetches, "
+                  f"h2d {(v['h2d_bytes'] - s['h2d_bytes'])/1e6:.2f} MB, "
+                  f"d2h {(v['d2h_bytes'] - s['d2h_bytes'])/1e6:.2f} MB")
 
 
 if __name__ == "__main__":
