@@ -53,6 +53,22 @@ class DeviceSearchEngine:
             min_align_len=copt.min_align_len,
             mesh=mesh,
         )
+        # HBM-resident genome blob: phase-4 windows and phase-5 WFA spans
+        # are extracted on device from geometry instead of being uploaded
+        # (the round-4 many-hit loss was MB-scale window/span payloads
+        # through a 40 MB/s tunnel).  LEXICMAP_TPU_NO_RESIDENT=1 disables
+        # for A/B transport measurements.
+        import os
+
+        self.blob = None
+        if not os.environ.get("LEXICMAP_TPU_NO_RESIDENT"):
+            try:
+                from .resident import DeviceGenomeBlob
+
+                self.blob = DeviceGenomeBlob(idx.genome_stores, mesh=mesh)
+                self.pseudo.blob = self.blob
+            except Exception:  # HBM/blob build failure -> upload path
+                self.blob = None
         if mesh is not None:
             from .sharded import ShardedSeedMatcher
 
@@ -122,10 +138,14 @@ class DeviceSearchEngine:
 
         # window prep, then one device pseudo-align run over every window
         # of every query
+        from .pseudo_device import L_PAD
+
+        words_out = L_PAD // 16
         hits_of = {}
         cpr_of = {}
         queries = []
         windows = []
+        geoms = [] if self.blob is not None else None
         wmeta = []  # (query_index, hit_pos, path_pos)
         for b, i in enumerate(valid):
             hits = chained_of[i]
@@ -143,10 +163,23 @@ class DeviceSearchEngine:
                 for pp, (w, meta) in enumerate(zip(wins, metas)):
                     windows.append((qpos, w, meta[0], meta[1]))
                     wmeta.append((i, hi, pp))
+                    if geoms is not None:
+                        # meta = (q_begin, q_end, t_begin, t_end, rc, seeds);
+                        # t_end is already clipped, so the geometry length
+                        # equals the extracted window length
+                        wb, ph, L = self.blob.geometry(
+                            hit.genome_batch, hit.genome_index,
+                            meta[2], meta[3], meta[4], words_out,
+                        )
+                        geoms.append(
+                            (wb, ph, bool(meta[4]))
+                            if L == w.shape[0]
+                            else None
+                        )
 
         use_device = len(windows) >= max(self.min_windows_for_device, 1) \
             if self.min_windows_for_device else bool(windows)
-        res = self.pseudo.run_batch(queries, windows) if use_device else \
+        res = self.pseudo.run_batch(queries, windows, geoms) if use_device else \
             [("host", None)] * len(windows)
         pseudo_maps: dict[int, dict[int, list]] = {}
         for (i, hi, pp), r in zip(wmeta, res):

@@ -193,7 +193,7 @@ def _unpack_anchors(ak1, ak2):
 # launch 1: probe + sort + dedup + trim
 
 
-def build_probe_fn():
+def build_probe_fn(resident: bool = False):
     """Jitted: packed window codes + query tables -> sorted/deduped/trimmed
     anchors (device-resident) + per-window counts and fallback flags.
 
@@ -203,6 +203,10 @@ def build_probe_fn():
       qkh/qkl/qv [NQ, QK_PAD] u32
     Outputs:
       ak1, ak2 [W, A_CAP] u32; counts [W] i32; flags [W] i32
+
+    resident=True: instead of `packed`, takes (blob, word_base, phase, rc)
+    and extracts the window codes from the HBM-resident genome blob
+    (parallel/resident.py) — the window bytes never cross the transport.
     """
     jax, jnp = _get_jnp()
     lax = jax.lax
@@ -440,6 +444,16 @@ def build_probe_fn():
         ).astype(jnp.int32)
         return ak1, ak2, counts, flags
 
+    if resident:
+        from .resident import extract_packed
+
+        def fn_res(blob, word_base, phase, rc, wlen, qidx, begin, end,
+                   qkh, qkl, qv):
+            packed = extract_packed(blob, word_base, phase, wlen, rc,
+                                    L_PAD // 16)
+            return fn(packed, wlen, qidx, begin, end, qkh, qkl, qv)
+
+        return jax.jit(fn_res)
     return jax.jit(fn)
 
 
@@ -742,7 +756,12 @@ class DevicePseudoAligner:
 
         ensure_jax()
         self._probe_fn = None
+        self._probe_res_fn = None
         self._chain_fns = {}
+        #: optional DeviceGenomeBlob — when set and run_batch receives
+        #: window geometry, the probe extracts window codes from HBM
+        #: instead of receiving them over the transport
+        self.blob = None
         self.stats = {"windows": 0, "host_windows": 0, "host_queries": 0}
 
     def _put_windows(self, arrays):
@@ -776,6 +795,11 @@ class DevicePseudoAligner:
             self._probe_fn = build_probe_fn()
         return self._probe_fn
 
+    def _probe_res(self):
+        if self._probe_res_fn is None:
+            self._probe_res_fn = build_probe_fn(resident=True)
+        return self._probe_res_fn
+
     def _chain(self):
         key = (self.band_base, self.band_count, self.max_gap,
                self.min_score, self.min_align_len)
@@ -785,9 +809,13 @@ class DevicePseudoAligner:
             self._chain_fns[key] = fn
         return fn
 
-    def run_batch(self, queries, windows):
+    def run_batch(self, queries, windows, geoms=None):
         """queries: list of (qk u64 sorted, qv u32) per batch query.
-        windows: list of (qidx, tcodes uint8[L], begin, end)."""
+        windows: list of (qidx, tcodes uint8[L], begin, end).
+        geoms: optional list aligned with windows of (word_base, phase, rc)
+        blob geometry (words_out = L_PAD//16); with self.blob set, window
+        codes are then extracted on device from the resident genome blob
+        instead of being packed + uploaded per chunk."""
         import jax
         import jax.numpy as jnp
 
@@ -813,11 +841,14 @@ class DevicePseudoAligner:
             tables.append((kh, kl, v))
         self.stats["host_queries"] += sum(1 for ok in q_ok if not ok)
 
+        use_resident = self.blob is not None and geoms is not None
         dev_idx = []
         for i, (qidx, tcodes, begin, end) in enumerate(windows):
             L = tcodes.shape[0]
             if not q_ok[qidx] or L > L_PAD or L < K or end >= 8191 - K:
                 continue
+            if use_resident and geoms[i] is None:
+                continue  # no geometry for this window -> host path
             dev_idx.append(i)
         if not dev_idx:
             self.stats["host_windows"] += n_win
@@ -839,31 +870,51 @@ class DevicePseudoAligner:
         # ---- probe in fixed-size chunks (bounded compile variants) ----
         WC = W_CHUNKS[0] if len(dev_idx) <= 2 * W_CHUNKS[0] else W_CHUNKS[1]
         chunks = [dev_idx[o: o + WC] for o in range(0, len(dev_idx), WC)]
-        probe = self._probe()
+        probe = self._probe_res() if use_resident else self._probe()
         chunk_out = []  # (idx_list, ak1, ak2, counts_d)
         small = []
         for idxs in chunks:
-            packed = np.zeros((WC, L_PAD // 16), dtype=np.uint32)
             wlen = np.zeros(WC, dtype=np.int32)
             qidx_a = np.zeros(WC, dtype=np.int32)
             begin_a = np.zeros(WC, dtype=np.int32)
             end_a = np.zeros(WC, dtype=np.int32)
+            if use_resident:
+                wb_a = np.zeros(WC, dtype=np.int32)
+                ph_a = np.zeros(WC, dtype=np.int32)
+                rc_a = np.zeros(WC, dtype=bool)
+            else:
+                packed = np.zeros((WC, L_PAD // 16), dtype=np.uint32)
             for row, i in enumerate(idxs):
                 qidx, tcodes, begin, end = windows[i]
-                packed[row] = pack_codes_2bit(tcodes, L_PAD)
                 wlen[row] = tcodes.shape[0]
                 qidx_a[row] = qidx
                 begin_a[row] = begin
                 end_a[row] = end
-            count_h2d("device pseudo-align probe", packed, wlen, qidx_a, begin_a, end_a)
-            dev_in = self._put_windows((packed, wlen, qidx_a, begin_a, end_a))
-            ak1, ak2, counts_d, flags_d = probe(*dev_in, *tables_d)
+                if use_resident:
+                    wb_a[row], ph_a[row], rc_a[row] = geoms[i]
+                else:
+                    packed[row] = pack_codes_2bit(tcodes, L_PAD)
+            if use_resident:
+                count_h2d("device pseudo-align probe", wb_a, ph_a, rc_a,
+                          wlen, qidx_a, begin_a, end_a)
+                dev_in = self._put_windows(
+                    (wb_a, ph_a, rc_a, wlen, qidx_a, begin_a, end_a)
+                )
+                ak1, ak2, counts_d, flags_d = probe(
+                    self.blob.d_blob, *dev_in, *tables_d
+                )
+            else:
+                count_h2d("device pseudo-align probe", packed, wlen, qidx_a,
+                          begin_a, end_a)
+                dev_in = self._put_windows((packed, wlen, qidx_a, begin_a, end_a))
+                ak1, ak2, counts_d, flags_d = probe(*dev_in, *tables_d)
             chunk_out.append((idxs, ak1, ak2, counts_d))
             small.append((counts_d, flags_d))
         from . import fetch_guarded
 
         fetched = fetch_guarded(
-            small, "device pseudo-align probe", compile_key=(NQ, WC)
+            small, "device pseudo-align probe",
+            compile_key=(NQ, WC, use_resident),
         )
         if fetched is None:  # watchdog tripped: every window to the host
             self.stats["host_windows"] += n_win
