@@ -53,13 +53,25 @@ def pack_words16(codes: np.ndarray, pad_to: int) -> np.ndarray:
     return w.astype(np.int32)
 
 
+def dense_words(L: int) -> int:
+    """u32 word count of a dense 2-bit LSB-first buffer whose in-jit
+    expansion to sliding compare-words needs codes up to L+16."""
+    return L // 16 + 2
+
+
 def build_wfa_step(N: int, M: int, S: int, W: int, x: int, o: int, e: int,
                    min_wf_len: int, max_dist_diff: int):
     """Returns a jitted function aligning a batch of padded windows.
 
     Inputs (device arrays):
-      qw [B, N+1] int32 packed query words; tw [B, M+1] int32 target words
-      n  [B] int32 query lengths;           m  [B] int32 target lengths
+      qp [B, dense_words(N)] u32 DENSE 2-bit LSB-first query codes
+      tp [B, dense_words(M)] u32 likewise for targets
+      n  [B] int32 query lengths;  m  [B] int32 target lengths
+    The 16-base sliding compare-words (w[i] = bases i..i+15 MSB-first,
+    what pack_words16 builds on the host) are expanded IN-JIT: the dense
+    upload is 16x smaller than shipping the sliding words — at many-hit
+    span counts that is the difference between a ~4 MB and a ~0.25 MB
+    h2d payload per batch through the ~40 MB/s tunnel.
     Outputs:
       hist_M/I/D [B, S, W] int16 (f offsets, NEG16 = dead)
       lo   [B, S] int32 window offsets (diagonal of column 0)
@@ -69,6 +81,15 @@ def build_wfa_step(N: int, M: int, S: int, W: int, x: int, o: int, e: int,
     lax = jax.lax
 
     NEG = jnp.int32(NEG16)
+
+    def expand(cp, L):
+        """[dense_words(L)] u32 dense codes -> [L+1] int32 sliding words."""
+        shifts = (2 * jnp.arange(16, dtype=jnp.uint32))[None, :]
+        c = ((cp[:, None] >> shifts) & jnp.uint32(3)).reshape(-1)
+        acc = jnp.zeros(L + 1, dtype=jnp.uint32)
+        for z in range(16):
+            acc = acc | (c[z : z + L + 1] << jnp.uint32(30 - 2 * z))
+        return acc.astype(jnp.int32)
 
     def clz32(v):
         v = v | (v >> 1)
@@ -111,7 +132,9 @@ def build_wfa_step(N: int, M: int, S: int, W: int, x: int, o: int, e: int,
         f, _ = lax.while_loop(cond, body, (f, active0))
         return f
 
-    def align_one(qw, tw, n, m):
+    def align_one(qp, tp, n, m):
+        qw = expand(qp, N)
+        tw = expand(tp, M)
         k_end = m - n
 
         hist_M = jnp.full((S, W), NEG, dtype=jnp.int16)
@@ -456,14 +479,16 @@ class DeviceWFA:
             if self.mesh is not None:
                 n_dev = self.mesh.devices.size
                 B_pad = ((B_pad + n_dev - 1) // n_dev) * n_dev
-            qw = np.zeros((B_pad, N + 1), dtype=np.int32)
-            tw = np.zeros((B_pad, M + 1), dtype=np.int32)
+            from .pseudo_device import pack_codes_2bit
+
+            qw = np.zeros((B_pad, dense_words(N)), dtype=np.uint32)
+            tw = np.zeros((B_pad, dense_words(M)), dtype=np.uint32)
             ns = np.zeros(B_pad, dtype=np.int32)
             ms = np.zeros(B_pad, dtype=np.int32)
             for row, idx in enumerate(idxs):
                 q, t = pairs[idx]
-                qw[row] = pack_words16(q, N)
-                tw[row] = pack_words16(t, M)
+                qw[row] = pack_codes_2bit(q, 16 * dense_words(N))
+                tw[row] = pack_codes_2bit(t, 16 * dense_words(M))
                 ns[row] = q.shape[0]
                 ms[row] = t.shape[0]
             if B < B_pad:
