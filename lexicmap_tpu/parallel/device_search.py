@@ -171,9 +171,11 @@ class DeviceSeedMatcher:
 
             def call(d_hi, d_cnt, d_ids, qh_b, qv_b, t=tile, p=min_prefix, H=H):
                 # whole-batch locate in ONE kernel (batch = grid dim;
-                # vmap-of-pallas_call hangs the axon backend's compiler)
+                # vmap-of-pallas_call hangs the axon backend's compiler).
+                # qv rides the transport as uint8 (a flag per mask; i32
+                # quadrupled the second-largest upload of the whole engine)
                 nh, e0 = seed_locate_batch_pallas(
-                    d_hi, d_cnt, qh_b, qv_b, p=p, tile_m=t,
+                    d_hi, d_cnt, qh_b, qv_b.astype(jnp.int32), p=p, tile_m=t,
                     interpret=self.interpret,
                 )  # [B, mb_pad] i32
                 hit = nh > 0
@@ -224,7 +226,7 @@ class DeviceSeedMatcher:
         for bi, (E, tile, ids, d_hi, d_ids, mb_pad, d_cnt) in enumerate(self.buckets):
             qh_b = np.zeros((B, mb_pad), dtype=np.uint32)
             qh_b[:, : ids.shape[0]] = qh[:, ids]
-            qv_b = np.zeros((B, mb_pad), dtype=np.int32)
+            qv_b = np.zeros((B, mb_pad), dtype=np.uint8)
             qv_b[:, : ids.shape[0]] = sel[:, ids]
             fn = self._bucket_fn(bi, min_prefix)
             from . import count_h2d

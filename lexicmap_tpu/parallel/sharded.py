@@ -216,10 +216,11 @@ class ShardedSeedMatcher:
             hi_l, cnt_l, gids_l = d_hi[0], d_cnt[0], d_gids[0]
             qh_l, qv_l = qh[:, 0], qv[:, 0]  # [Bl, mb_pad]
             # whole-batch locate in ONE kernel (batch = grid dim;
-            # vmap-of-pallas_call hangs the axon backend's compiler)
+            # vmap-of-pallas_call hangs the axon backend's compiler);
+            # qv crosses the transport as uint8 and widens here
             nh, e0 = seed_locate_batch_pallas(
-                hi_l, cnt_l, qh_l, qv_l, p=min_prefix, tile_m=tile,
-                interpret=interpret,
+                hi_l, cnt_l, qh_l, qv_l.astype(jnp.int32), p=min_prefix,
+                tile_m=tile, interpret=interpret,
             )  # [Bl, mb_pad]
             hit = nh > 0
             keys = jnp.where(hit, gids_l[None, :], jnp.uint32(0xFFFFFFFF))
@@ -270,7 +271,7 @@ class ShardedSeedMatcher:
             self.buckets
         ):
             qh = np.zeros((b_pad, self.tp, mb_pad), dtype=np.uint32)
-            qv = np.zeros((b_pad, self.tp, mb_pad), dtype=np.int32)
+            qv = np.zeros((b_pad, self.tp, mb_pad), dtype=np.uint8)
             for s, ids in enumerate(ids_per_shard):
                 qh[:, s, : ids.shape[0]] = qh_full[:, ids]
                 qv[:, s, : ids.shape[0]] = sel[:, ids]

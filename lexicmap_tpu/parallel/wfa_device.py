@@ -40,19 +40,6 @@ def _get_jax():
     return jax, jnp
 
 
-def pack_words16(codes: np.ndarray, pad_to: int) -> np.ndarray:
-    """w[i] = 16 bases starting at i, 2-bit MSB-first, A-padded (host-side
-    preparation; mirrors ops/wfa.py:_pack_words but 16 bases in int32)."""
-    n = codes.shape[0]
-    c = np.zeros(n + 16, dtype=np.uint32)
-    c[:n] = codes
-    w = np.zeros(pad_to + 1, dtype=np.uint32)
-    acc = w[: n]
-    for z in range(16):  # 16 vectorized shifted adds, not a per-base loop
-        acc |= c[z : z + n] << np.uint32(30 - 2 * z)
-    return w.astype(np.int32)
-
-
 def dense_words(L: int) -> int:
     """u32 word count of a dense 2-bit LSB-first buffer whose in-jit
     expansion to sliding compare-words needs codes up to L+16."""
@@ -67,8 +54,8 @@ def build_wfa_step(N: int, M: int, S: int, W: int, x: int, o: int, e: int,
       qp [B, dense_words(N)] u32 DENSE 2-bit LSB-first query codes
       tp [B, dense_words(M)] u32 likewise for targets
       n  [B] int32 query lengths;  m  [B] int32 target lengths
-    The 16-base sliding compare-words (w[i] = bases i..i+15 MSB-first,
-    what pack_words16 builds on the host) are expanded IN-JIT: the dense
+    The 16-base sliding compare-words (w[i] = bases i..i+15 MSB-first;
+    the 16-base analogue of ops/wfa.py:_pack_words) are expanded IN-JIT: the dense
     upload is 16x smaller than shipping the sliding words — at many-hit
     span counts that is the difference between a ~4 MB and a ~0.25 MB
     h2d payload per batch through the ~40 MB/s tunnel.
