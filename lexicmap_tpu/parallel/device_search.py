@@ -49,6 +49,12 @@ from .pallas_kernels import (
 MAX_E = 1 << 17
 VMEM_BUDGET = 8 << 20  # bytes of VMEM a tile's uint32 blocks may use
 H_CAP = 6144  # max hit masks fetched per (query, bucket)
+# a query can hit at most as many masks as it has captured k-mers, so the
+# fetched hit table shrinks with query length: H is the smallest bucket
+# covering the batch's max capture count (d2h is 3 u32 columns x H per
+# query per bucket — at H_CAP that was the single largest fetch of the
+# whole engine on 1.5 kb queries)
+H_BUCKETS = (1024, 2048, 4096, H_CAP)
 INV_MASK = np.uint32(0xFFFFFFFF)
 
 
@@ -154,20 +160,20 @@ class DeviceSeedMatcher:
                 self.entry_base[mi] = off[mi - rdr.mask_begin]
                 self.chunk_of_mask[mi] = ci
 
-    def _bucket_fn(self, bucket_index: int, min_prefix: int):
-        """Cached jitted locate+compact per (bucket, p) — rebuilding the
+    def _bucket_fn(self, bucket_index: int, min_prefix: int, h_cap: int = H_CAP):
+        """Cached jitted locate+compact per (bucket, p, H) — rebuilding the
         vmap wrapper per call would re-trace on every batch."""
         cache = getattr(self, "_fns", None)
         if cache is None:
             cache = self._fns = {}
-        key = (bucket_index, min_prefix)
+        key = (bucket_index, min_prefix, h_cap)
         fn = cache.get(key)
         if fn is None:
             import jax
             import jax.numpy as jnp
 
             E, tile, _, _, _, mb_pad, _ = self.buckets[bucket_index]
-            H = min(H_CAP, mb_pad)
+            H = min(h_cap, mb_pad)
 
             def call(d_hi, d_cnt, d_ids, qh_b, qv_b, t=tile, p=min_prefix, H=H):
                 # whole-batch locate in ONE kernel (batch = grid dim;
@@ -221,6 +227,9 @@ class DeviceSeedMatcher:
         if sel.any():
             h, _ = split_kmers_hi_lo(query_kmers_batch[sel], self.k)
             qh[sel] = h
+        # hits per (query, bucket) <= captured k-mers of the query
+        n_capt = int(sel.sum(axis=1).max()) if B else 0
+        h_cap = next((h for h in H_BUCKETS if h >= n_capt), H_CAP)
 
         pending = []
         for bi, (E, tile, ids, d_hi, d_ids, mb_pad, d_cnt) in enumerate(self.buckets):
@@ -228,7 +237,7 @@ class DeviceSeedMatcher:
             qh_b[:, : ids.shape[0]] = qh[:, ids]
             qv_b = np.zeros((B, mb_pad), dtype=np.uint8)
             qv_b[:, : ids.shape[0]] = sel[:, ids]
-            fn = self._bucket_fn(bi, min_prefix)
+            fn = self._bucket_fn(bi, min_prefix, h_cap)
             from . import count_h2d
 
             count_h2d("device seed matching", qh_b, qv_b)
@@ -241,6 +250,7 @@ class DeviceSeedMatcher:
             "device seed matching",
             compile_key=(
                 min_prefix,
+                h_cap,
                 tuple((E, tile, mb) for E, tile, _, _, _, mb, _ in self.buckets),
             ),
         )

@@ -703,7 +703,22 @@ def build_chain_fn(band_base: int, band_count: int, max_gap: int,
         out, cnt, flg, phase = st[15], st[16], st[17], st[0]
         # windows not finished at the iteration cap fall back to the host
         flg = flg | jnp.where(phase != 2, F_STACK_OVERFLOW, 0)
-        return out, cnt, flg
+
+        # ---- device-side compaction: most windows emit 1-2 chains, so
+        # fetching the dense [Wb, C_CAP, 8] block moves ~8x more bytes than
+        # exist.  Valid rows sort to the front keyed by (window, chain) and
+        # only R_CAP rows (key + 8 columns) are fetched; windows whose rows
+        # fall past R_CAP are detected by the host via the key column and
+        # re-run there (order inside a window is the emission order).
+        wrow = jnp.arange(Wb, dtype=jnp.int32)[:, None]
+        crow = jnp.arange(C_CAP, dtype=jnp.int32)[None, :]
+        valid = (crow < cnt[:, None]) & (flg[:, None] == 0)
+        key = jnp.where(valid, wrow * C_CAP + crow, Wb * C_CAP).reshape(-1)
+        cols = tuple(out[:, :, j].reshape(-1) for j in range(8))
+        sorted_ = lax.sort((key, *cols), dimension=0, num_keys=1, is_stable=True)
+        R_CAP = min(2 * Wb, Wb * C_CAP)
+        rows = jnp.stack([s[:R_CAP] for s in sorted_], axis=1)  # [R_CAP, 9]
+        return rows, cnt, flg
 
     return jax.jit(fn)
 
@@ -950,21 +965,23 @@ class DevicePseudoAligner:
                     subc = counts_d[ridx_d]
                     if self.mesh is not None:
                         sub1, sub2, subc = self._put_windows((sub1, sub2, subc))
-                    out, cnt, flg = self._chain()(sub1, sub2, subc)
-                    pending.append(([idxs[r] for r in part], out, cnt, flg))
+                    rows_d, cnt, flg = self._chain()(sub1, sub2, subc)
+                    pending.append(([idxs[r] for r in part], rows_d, cnt, flg))
 
         fetched2 = fetch_guarded(
-            [(o, c, f) for _, o, c, f in pending],
+            [(r, c, f) for _, r, c, f in pending],
             "device pseudo-align chain",
             compile_key=tuple(sorted(chain_shapes)),
         )
         if fetched2 is None:  # pending windows keep their ("host", None) default
             self.stats["host_windows"] += n_win - len(dev_idx)
             return results
-        for (win_ids, *_), (out, cnt, flg) in zip(pending, fetched2):
+        for (win_ids, *_), (rows, cnt, flg) in zip(pending, fetched2):
+            # rows: [R_CAP, 9] compacted (key=win*C_CAP+chain, 8 columns),
+            # contiguous per window in (window, emission) order
+            R_CAP = rows.shape[0]
+            ptr = 0
             for k, i in enumerate(win_ids):
-                if k >= len(win_ids):
-                    break
                 if flg[k] != 0:
                     self.stats[f"flag{int(flg[k])}"] = (
                         self.stats.get(f"flag{int(flg[k])}", 0) + 1
@@ -974,8 +991,17 @@ class DevicePseudoAligner:
                 c = int(cnt[k])
                 if c == 0:
                     results[i] = ("none", None)
-                else:
-                    results[i] = ("rows", out[k, :c].astype(np.int64))
+                    continue
+                if ptr + c > R_CAP or int(rows[ptr, 0]) != k * C_CAP:
+                    # truncated past the compaction cap (or key mismatch
+                    # safeguard): this window re-runs on the host
+                    self.stats["host_windows"] += 1
+                    self.stats["compact_overflow"] = (
+                        self.stats.get("compact_overflow", 0) + 1
+                    )
+                    continue
+                results[i] = ("rows", rows[ptr : ptr + c, 1:].astype(np.int64))
+                ptr += c
 
         self.stats["host_windows"] += n_win - len(dev_idx)
         return results
