@@ -49,11 +49,12 @@ from .pallas_kernels import (
 MAX_E = 1 << 17
 VMEM_BUDGET = 8 << 20  # bytes of VMEM a tile's uint32 blocks may use
 H_CAP = 6144  # max hit masks fetched per (query, bucket)
-# a query can hit at most as many masks as it has captured k-mers, so the
-# fetched hit table shrinks with query length: H is the smallest bucket
-# covering the batch's max capture count (d2h is 3 u32 columns x H per
-# query per bucket — at H_CAP that was the single largest fetch of the
-# whole engine on 1.5 kb queries)
+# the hit table is fetched at a SPECULATIVE width: real hit counts (masks
+# with a >=p-prefix match) are data-dependent and usually far below H_CAP,
+# and d2h is 3 u32 columns x H per query per bucket — at H_CAP that was
+# the single largest fetch of the whole engine.  A batch whose device-side
+# count exceeds the speculative width re-dispatches at the next bucket
+# (rare; the per-matcher hint converges to the workload's width).
 H_BUCKETS = (1024, 2048, 4096, H_CAP)
 INV_MASK = np.uint32(0xFFFFFFFF)
 
@@ -227,35 +228,52 @@ class DeviceSeedMatcher:
         if sel.any():
             h, _ = split_kmers_hi_lo(query_kmers_batch[sel], self.k)
             qh[sel] = h
-        # hits per (query, bucket) <= captured k-mers of the query
-        n_capt = int(sel.sum(axis=1).max()) if B else 0
-        h_cap = next((h for h in H_BUCKETS if h >= n_capt), H_CAP)
 
-        pending = []
-        for bi, (E, tile, ids, d_hi, d_ids, mb_pad, d_cnt) in enumerate(self.buckets):
-            qh_b = np.zeros((B, mb_pad), dtype=np.uint32)
-            qh_b[:, : ids.shape[0]] = qh[:, ids]
-            qv_b = np.zeros((B, mb_pad), dtype=np.uint8)
-            qv_b[:, : ids.shape[0]] = sel[:, ids]
-            fn = self._bucket_fn(bi, min_prefix, h_cap)
-            from . import count_h2d
+        from . import count_h2d, fetch_guarded
 
-            count_h2d("device seed matching", qh_b, qv_b)
-            pending.append(fn(d_hi, d_cnt, d_ids, jnp.asarray(qh_b), jnp.asarray(qv_b)))
+        h_cap = getattr(self, "_h_hint", H_BUCKETS[0])
+        while True:
+            pending = []
+            for bi, (E, tile, ids, d_hi, d_ids, mb_pad, d_cnt) in enumerate(
+                self.buckets
+            ):
+                qh_b = np.zeros((B, mb_pad), dtype=np.uint32)
+                qh_b[:, : ids.shape[0]] = qh[:, ids]
+                qv_b = np.zeros((B, mb_pad), dtype=np.uint8)
+                qv_b[:, : ids.shape[0]] = sel[:, ids]
+                fn = self._bucket_fn(bi, min_prefix, h_cap)
+                count_h2d("device seed matching", qh_b, qv_b)
+                pending.append(
+                    fn(d_hi, d_cnt, d_ids, jnp.asarray(qh_b), jnp.asarray(qv_b))
+                )
 
-        from . import fetch_guarded
-
-        fetched = fetch_guarded(
-            pending,
-            "device seed matching",
-            compile_key=(
-                min_prefix,
-                h_cap,
-                tuple((E, tile, mb) for E, tile, _, _, _, mb, _ in self.buckets),
-            ),
-        )
-        if fetched is None:  # watchdog tripped: whole batch to host matching
-            return [None] * B
+            fetched = fetch_guarded(
+                pending,
+                "device seed matching",
+                compile_key=(
+                    min_prefix,
+                    h_cap,
+                    tuple((E, tile, mb) for E, tile, _, _, _, mb, _ in self.buckets),
+                ),
+            )
+            if fetched is None:  # watchdog tripped: whole batch to host
+                return [None] * B
+            # a count past the speculative width but under the bucket's true
+            # ceiling means the fetch was too narrow, not a real overflow:
+            # grow the hint and re-dispatch (the upload repeats, but only on
+            # the rare hint transition)
+            retry = False
+            for (keys, e0s, nhs, counts), (E, tile, ids, *_, mb_pad, _c) in zip(
+                fetched, self.buckets
+            ):
+                H = keys.shape[1]
+                ceiling = min(H_CAP, mb_pad)
+                if H < ceiling and any(int(c) > H for c in counts):
+                    retry = True
+            if not retry:
+                break
+            h_cap = next(h for h in H_BUCKETS if h > h_cap)
+            self._h_hint = h_cap
 
         per_query: list[list] = [[] for _ in range(B)]
         overflow = np.zeros(B, dtype=bool)

@@ -57,6 +57,10 @@ def _parse(argv):
                     help="search the query stream this many times (timing)")
     ap.add_argument("--pin", action="store_true",
                     help="pin worker i to CPU core i%%ncores (scaling runs)")
+    ap.add_argument("--twins", choices=["host", "device"], default="host",
+                    help="run phase-3 chain DP + phase-5 WFA on each "
+                    "worker's LOCAL device (the TPU path composed with the "
+                    "distributed path; host = pure host phases)")
     ap.add_argument("--workdir", default="",
                     help="internal: shared scratch dir for worker parts")
     return ap.parse_args(argv)
@@ -98,11 +102,20 @@ def worker_main(args) -> int:
     assert len(devs) == n * args.local_devices
     mesh = Mesh(np.array(devs).reshape(1, -1), ("dp", "tp"))
 
-    idx = IndexSearcher(args.db, SearchOptions())
+    opt = SearchOptions()
+    if args.twins == "device":
+        # phase-3/5 device twins on each worker's LOCAL device: every
+        # worker dispatches chain DP + WFA for ITS query subset only, so
+        # these are per-process single-device programs (on a real pod,
+        # the process's own chips), composed with the cross-process
+        # sharded phase 2a below
+        opt.chain_engine = "device"
+        opt.wfa_engine = "device"
+    idx = IndexSearcher(args.db, opt)
     matcher = ShardedSeedMatcher(idx, mesh)
     if pid == 0:
         print(f"[multiproc] {n} processes x {args.local_devices} devices; "
-              f"{matcher.describe()}", file=sys.stderr)
+              f"twins={args.twins}; {matcher.describe()}", file=sys.stderr)
 
     records = [(r.id.decode(), bytes(r.seq)) for r in read_fastx(args.query)]
     queries = records * args.repeat
@@ -143,32 +156,42 @@ def worker_main(args) -> int:
         t_host += time.time() - t0
     t_run = time.time() - t_run0
 
-    part = os.path.join(args.workdir, f"part_{pid}.pkl")
-    with open(part, "wb") as fh:
-        pickle.dump(
-            {
-                "rows_of": rows_of,
-                "t_dev": t_dev,
-                "t_host": t_host,
-                "t_run": t_run,
-                "t_init": t_run0 - t_init0,
-                "n_queries": len(rows_of),
-            },
-            fh,
-        )
-    # all parts on disk before rank 0 merges
-    multihost_utils.sync_global_devices("lexicmap-multiproc-parts")
+    # ---- collective merge: the per-process row sets ride the distributed
+    # backend as an all_gather of (pickled, padded) byte buffers — every
+    # process receives every part; rank 0 writes the TSV in global query
+    # order.  This is the live-engine form of the reference's offline
+    # per-index TSV merge (ref: merge-search-results.go:38-52; SURVEY §2.4
+    # "channel-based reduction -> allgather of per-shard hit lists").
+    t_merge0 = time.time()
+    payload = pickle.dumps(
+        {
+            "rows_of": rows_of,
+            "t_dev": t_dev,
+            "t_host": t_host,
+            "t_run": t_run,
+            "t_init": t_run0 - t_init0,
+            "n_queries": len(rows_of),
+        }
+    )
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    sizes = multihost_utils.process_allgather(
+        np.array([buf.shape[0]], dtype=np.int64)
+    ).reshape(n)
+    cap = int(sizes.max())
+    padded = np.zeros(cap, dtype=np.uint8)
+    padded[: buf.shape[0]] = buf
+    parts = multihost_utils.process_allgather(padded).reshape(n, cap)
+    stats = [
+        pickle.loads(parts[p, : int(sizes[p])].tobytes()) for p in range(n)
+    ]
+    t_merge = time.time() - t_merge0
 
     if pid == 0:
         from ..cli import TSV_HEADER
 
         merged: dict[int, list[str]] = {}
-        stats = []
-        for p in range(n):
-            with open(os.path.join(args.workdir, f"part_{p}.pkl"), "rb") as fh:
-                d = pickle.load(fh)
+        for d in stats:
             merged.update(d["rows_of"])
-            stats.append(d)
         with open(args.out, "w") as out:
             out.write(TSV_HEADER + "\n")
             for qidx in sorted(merged):
@@ -177,8 +200,10 @@ def worker_main(args) -> int:
         summary = {
             "nprocs": n,
             "local_devices": args.local_devices,
+            "twins": args.twins,
             "queries": len(merged),
             "wall_s": round(max(d["t_run"] for d in stats), 3),
+            "merge_s": round(t_merge, 3),
             "per_proc_host_s": [round(d["t_host"], 3) for d in stats],
             "per_proc_dev_s": [round(d["t_dev"], 3) for d in stats],
             "per_proc_queries": [d["n_queries"] for d in stats],
@@ -223,6 +248,7 @@ def launch(args) -> int:
             "--coordinator", args.coordinator,
             "--local-devices", str(args.local_devices),
             "--batch", str(args.batch), "--repeat", str(args.repeat),
+            "--twins", args.twins,
             "--workdir", workdir,
         ]
         if args.pin and shutil.which("taskset"):

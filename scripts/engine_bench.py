@@ -60,3 +60,6 @@ def main():
 
 if __name__ == "__main__":
     main()
+    from lexicmap_tpu.parallel import hard_exit_if_abandoned
+
+    hard_exit_if_abandoned(0)

@@ -49,6 +49,11 @@ def main() -> None:
     opt = SearchOptions()
     if engine == "device":
         opt.engine = "device"
+        # optional device twins for phases 3/5 ("wfa"/"chain" argv tokens)
+        if "wfa" in sys.argv[3:]:
+            opt.wfa_engine = "device"
+        if "chain" in sys.argv[3:]:
+            opt.chain_engine = "device"
     idx = IndexSearcher(index, opt)
 
     # warm-up (mmap pages, native lib, device compile)

@@ -69,6 +69,40 @@ def test_two_process_jax_distributed_golden(tmp_path):
     assert all(t > 0 for t in summary["per_proc_dev_s"])
 
 
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(DEMO_DB, "info.json")),
+    reason="demo index not built",
+)
+@pytest.mark.parametrize("nprocs,twins", [(4, "host"), (2, "device")])
+def test_multiproc_scaling_legs(tmp_path, nprocs, twins):
+    """nprocs=4 (beyond the minimal 2) and the device-twins composition
+    (per-worker LOCAL chain DP + WFA on top of the cross-process sharded
+    phase 2a) both stay byte-identical to the golden TSV, and the merge is
+    the all_gather collective (no part files on disk)."""
+    out = str(tmp_path / "mp.tsv")
+    work = str(tmp_path / "work")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    r = subprocess.run(
+        [sys.executable, "-m", "lexicmap_tpu.parallel.multiproc",
+         "--db", DEMO_DB, "-q", os.path.join(DEMO_DIR, "q.gene.fasta"),
+         "-o", out, "--nprocs", str(nprocs), "--twins", twins,
+         "--workdir", work],
+        capture_output=True, text=True, env=env, timeout=560,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert open(out).read() == open(GOLDEN).read()
+    import glob
+    import json
+
+    assert not glob.glob(os.path.join(work, "part_*.pkl"))  # collective, not files
+    summary = json.load(open(os.path.join(work, "summary.json")))
+    assert summary["nprocs"] == nprocs
+    assert summary["twins"] == twins
+    assert all(t > 0 for t in summary["per_proc_dev_s"])
+
+
 def test_two_host_split_merge(tmp_path):
     import glob
 
