@@ -33,6 +33,8 @@ masks.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from .pallas_kernels import (
@@ -110,7 +112,15 @@ def pack_bucket_rows(per_mask, ids: np.ndarray, k: int, E: int, mb_pad: int):
 
 
 class DeviceSeedMatcher:
-    def __init__(self, index_searcher, tile_m: int = 200, interpret: bool | None = None):
+    def __init__(self, index_searcher, tile_m: int = 200, interpret: bool | None = None,
+                 hbm_budget: int | None = None):
+        """hbm_budget: byte cap for the HBM-resident seed table (default
+        LEXICMAP_TPU_HBM_BUDGET env or 8 GB).  When the table exceeds it,
+        buckets are admitted densest-first (smallest E per mask = most
+        masks served per byte) and the remainder matches on host mmap —
+        the first tier of the HBM-exceeding index story (SURVEY §7 "Index
+        scale"; the reference streams everything from disk,
+        ref: kv-searcher.go:330-611)."""
         from . import ensure_jax
 
         ensure_jax()
@@ -123,6 +133,10 @@ class DeviceSeedMatcher:
         if interpret is None:
             interpret = jax.devices()[0].platform == "cpu"
         self.interpret = interpret
+        if hbm_budget is None:
+            hbm_budget = int(
+                os.environ.get("LEXICMAP_TPU_HBM_BUDGET", 8 << 30)
+            )
 
         per_mask = collect_per_mask_tables(index_searcher)
         assert len(per_mask) == self.m
@@ -134,7 +148,8 @@ class DeviceSeedMatcher:
 
         self.buckets = []  # (E, tile, mask_ids [Mb], d_hi, d_ids, mb_pad, d_cnt)
         self.hbm_bytes = 0
-        host_ids = np.nonzero(counts > MAX_E)[0]
+        self.budget_spill = 0  # masks pushed to host by the HBM budget
+        host_ids = list(np.nonzero(counts > MAX_E)[0])
         assigned = counts > MAX_E
         for E in edges:
             ids = np.nonzero(~assigned & (counts <= E))[0]
@@ -143,14 +158,22 @@ class DeviceSeedMatcher:
                 continue
             tile = _tile_for(E, tile_m)
             mb_pad = ((ids.shape[0] + tile - 1) // tile) * tile
+            if self.hbm_bytes + mb_pad * E * 4 > hbm_budget:
+                # over budget: this bucket's masks (the entry-heaviest so
+                # far, since edges ascend) stay on the host tier
+                host_ids.extend(ids)
+                self.budget_spill += ids.shape[0]
+                continue
             hi, cnt, ids_pad = pack_bucket_rows(per_mask, ids, self.k, E, mb_pad)
             self.buckets.append(
                 (E, tile, ids, jnp.asarray(hi), jnp.asarray(ids_pad), mb_pad,
                  jnp.asarray(cnt))
             )
             self.hbm_bytes += mb_pad * E * 4
-        # host-overflow masks keep their sorted entry arrays
+        # host-tier masks keep their sorted entry arrays
         self.host_tables = {int(mi): per_mask[mi] for mi in host_ids}
+        self.host_entries = int(sum(t.shape[0] for t in self.host_tables.values()))
+        self.total_entries = int(counts.sum())
 
         # per-mask global entry offsets into each chunk, for posting gather
         self.entry_base = np.zeros(self.m, dtype=np.int64)
@@ -206,7 +229,12 @@ class DeviceSeedMatcher:
             for E, tile, ids, *_ in self.buckets
         ]
         if self.host_tables:
-            parts.append(f"host: {len(self.host_tables)} masks > {MAX_E}")
+            cov = 1.0 - self.host_entries / max(self.total_entries, 1)
+            parts.append(
+                f"host tier: {len(self.host_tables)} masks"
+                + (f" ({self.budget_spill} budget-spilled)" if self.budget_spill else "")
+                + f"; device covers {cov:.1%} of entries"
+            )
         return (
             f"device seed table: {self.hbm_bytes / 1e6:.1f} MB HBM in "
             f"{len(self.buckets)} buckets [" + ", ".join(parts) + "]"

@@ -84,6 +84,11 @@ class DeviceSearchEngine:
         else:
             self.matcher = idx.device_matcher
         self.min_windows_for_device = min_windows_for_device
+        #: cumulative wall per engine phase (seconds); read by the regime
+        #: benches to locate the bottleneck
+        self.times = {"mask": 0.0, "match": 0.0, "anchors": 0.0, "chain": 0.0,
+                      "winprep": 0.0, "pseudo": 0.0, "p5_prep": 0.0,
+                      "p5_wfa": 0.0, "p5_fin": 0.0, "assemble": 0.0}
 
     # ------------------------------------------------------------------
     def search_batch(self, seqs: list[bytes]):
@@ -98,9 +103,12 @@ class DeviceSearchEngine:
     def prepare_batch(self, seqs: list[bytes]):
         """Phases 1-4: host masking, device seed matching, host chaining,
         device pseudo-alignment.  Returns an opaque state for finish_batch."""
+        import time as _time
+
         from ..utils.kmers import seq_to_codes
 
         idx = self.idx
+        _t0 = _time.perf_counter()
         codes = [seq_to_codes(s.upper()) for s in seqs]
         valid = [i for i, c in enumerate(codes) if c.shape[0] >= idx.k]
         if not valid:
@@ -108,6 +116,8 @@ class DeviceSearchEngine:
         assert len(valid) <= 32, "engine batches are capped at 32 queries"
 
         masked = {i: idx._mask_query(codes[i]) for i in valid}
+        self.times["mask"] += _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
         if self.matcher is not None and idx.opt.min_prefix <= 16:
             batch = np.stack([masked[i][0] for i in valid])
             dev = self.matcher.match_batch(batch, idx.opt.min_prefix)
@@ -116,6 +126,8 @@ class DeviceSearchEngine:
             dev_hits = {i: (dev[b] if dev[b] is not None else False) for b, i in enumerate(valid)}
         else:
             dev_hits = {i: None for i in valid}
+        self.times["match"] += _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
 
         # phase 2b (host posting gather) for every query, then phase 3:
         # with --chain device the chain1 DP of every genome of every query
@@ -127,6 +139,8 @@ class DeviceSearchEngine:
             )
             for i in valid
         }
+        self.times["anchors"] += _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
         if idx.device_chainer is not None:
             hits_list = idx._chain_genomes_many([pg_of[i] or {} for i in valid])
             chained_of = dict(zip(valid, hits_list))
@@ -135,6 +149,9 @@ class DeviceSearchEngine:
                 i: (idx._chain_genomes(pg_of[i]) if pg_of[i] else [])
                 for i in valid
             }
+
+        self.times["chain"] += _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
 
         # window prep, then one device pseudo-align run over every window
         # of every query
@@ -177,10 +194,13 @@ class DeviceSearchEngine:
                             else None
                         )
 
+        self.times["winprep"] += _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
         use_device = len(windows) >= max(self.min_windows_for_device, 1) \
             if self.min_windows_for_device else bool(windows)
         res = self.pseudo.run_batch(queries, windows, geoms) if use_device else \
             [("host", None)] * len(windows)
+        self.times["pseudo"] += _time.perf_counter() - _t0
         pseudo_maps: dict[int, dict[int, list]] = {}
         for (i, hi, pp), r in zip(wmeta, res):
             pm = pseudo_maps.setdefault(i, {})
@@ -198,15 +218,19 @@ class DeviceSearchEngine:
         per-genome granularity was measured to lose through a ~25 ms
         transport (48 vs 1199 q/min at demo scale), while a whole batch is
         a handful of dispatches total."""
+        import time as _time
+
         codes, valid, hits_of, pseudo_maps, cpr_of = prepared
         idx = self.idx
         out = [[] for _ in codes]
         if idx.device_wfa is None or idx.opt.output_seq:
+            _t0 = _time.perf_counter()
             for i in valid:
                 hits = hits_of[i]
                 if not hits:
                     continue
                 out[i] = idx._phase4_assemble(codes[i], hits, pseudo_map=pseudo_maps.get(i))
+            self.times["p5_fin"] += _time.perf_counter() - _t0
             return out
 
         # ---- batch-wide device-WFA flow ----
@@ -242,11 +266,15 @@ class DeviceSearchEngine:
                 else []
             )
 
+        _t0 = _time.perf_counter()
         list(pool.map(_prep, jobs))
+        self.times["p5_prep"] += _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
 
         # stage B: ONE device alignment over every span of the batch
         all_pairs = [p for job in jobs for p in job["pairs"]]
         all_ops = idx.device_wfa.align_batch(all_pairs) if all_pairs else []
+        self.times["p5_wfa"] += _time.perf_counter() - _t0
         off = 0
         for job in jobs:
             n = len(job["pairs"])
@@ -274,10 +302,14 @@ class DeviceSearchEngine:
                     )
             results_of[i][job["hi"]] = r
 
+        _t0 = _time.perf_counter()
         list(pool.map(_fin, jobs))
+        self.times["p5_fin"] += _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
 
         # stage D: per-query chunk merge + qcovGnm + output ordering
         for i in valid:
             res = [r for r in results_of[i] if r is not None]
             out[i] = idx._assemble_results(codes[i], res)
+        self.times["assemble"] += _time.perf_counter() - _t0
         return out

@@ -778,6 +778,10 @@ class DevicePseudoAligner:
         #: instead of receiving them over the transport
         self.blob = None
         self.stats = {"windows": 0, "host_windows": 0, "host_queries": 0}
+        #: cumulative wall per internal stage (seconds) — populated every
+        #: run_batch; read by the regime benches to locate the bottleneck
+        self.times = {"tables": 0.0, "probe_pack": 0.0, "probe_fetch": 0.0,
+                      "chain_dispatch": 0.0, "chain_fetch": 0.0, "decode": 0.0}
 
     def _put_windows(self, arrays):
         """device_put window-major arrays, sharded over the mesh when set."""
@@ -846,6 +850,9 @@ class DevicePseudoAligner:
             return results
         self.stats["windows"] += n_win
 
+        import time as _time
+
+        _t0 = _time.perf_counter()
         # query routing
         q_ok = []
         tables = []
@@ -881,6 +888,8 @@ class DevicePseudoAligner:
 
         count_h2d("device pseudo-align probe", qkh, qkl, qv_a)
         tables_d = self._put_replicated((qkh, qkl, qv_a))
+        self.times["tables"] += _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
 
         # ---- probe in fixed-size chunks (bounded compile variants) ----
         WC = W_CHUNKS[0] if len(dev_idx) <= 2 * W_CHUNKS[0] else W_CHUNKS[1]
@@ -927,10 +936,14 @@ class DevicePseudoAligner:
             small.append((counts_d, flags_d))
         from . import fetch_guarded
 
+        self.times["probe_pack"] += _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
         fetched = fetch_guarded(
             small, "device pseudo-align probe",
             compile_key=(NQ, WC, use_resident),
         )
+        self.times["probe_fetch"] += _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
         if fetched is None:  # watchdog tripped: every window to the host
             self.stats["host_windows"] += n_win
             return [("host", None)] * n_win
@@ -968,11 +981,15 @@ class DevicePseudoAligner:
                     rows_d, cnt, flg = self._chain()(sub1, sub2, subc)
                     pending.append(([idxs[r] for r in part], rows_d, cnt, flg))
 
+        self.times["chain_dispatch"] += _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
         fetched2 = fetch_guarded(
             [(r, c, f) for _, r, c, f in pending],
             "device pseudo-align chain",
             compile_key=tuple(sorted(chain_shapes)),
         )
+        self.times["chain_fetch"] += _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
         if fetched2 is None:  # pending windows keep their ("host", None) default
             self.stats["host_windows"] += n_win - len(dev_idx)
             return results
@@ -1003,5 +1020,6 @@ class DevicePseudoAligner:
                 results[i] = ("rows", rows[ptr : ptr + c, 1:].astype(np.int64))
                 ptr += c
 
+        self.times["decode"] += _time.perf_counter() - _t0
         self.stats["host_windows"] += n_win - len(dev_idx)
         return results

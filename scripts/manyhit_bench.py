@@ -60,10 +60,15 @@ def main() -> None:
     idx.search_many([qs[0]])
 
     snap = {}
+    tsnap = psnap = {}
     if engine == "device":
         from lexicmap_tpu import parallel
 
         snap = {k: dict(v) for k, v in parallel.transport.items()}
+        eng = getattr(idx, "_device_engine", None)
+        if eng is not None:
+            tsnap = dict(eng.times)
+            psnap = dict(eng.pseudo.times)
     t0 = time.time()
     res = idx.search_many(qs)
     dt = time.time() - t0
@@ -83,6 +88,14 @@ def main() -> None:
     if engine == "device":
         from lexicmap_tpu import parallel
 
+        eng = getattr(idx, "_device_engine", None)
+        if eng is not None:
+            print(f"engine phase wall (measured run only, {n_q} queries):")
+            print("  " + " ".join(
+                f"{k}={v - tsnap.get(k, 0):.2f}s" for k, v in eng.times.items()))
+            print("  pseudo: " + " ".join(
+                f"{k}={v - psnap.get(k, 0):.2f}s"
+                for k, v in eng.pseudo.times.items()))
         print(f"transport per stage (measured run only, {n_q} queries):")
         for k, v in parallel.transport_summary().items():
             s = snap.get(k, {"fetches": 0, "d2h_bytes": 0, "h2d_bytes": 0})

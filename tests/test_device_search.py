@@ -52,6 +52,28 @@ def test_device_engine_matches_host(db):
         assert r_host and r_host[0].genome_id.decode() == name
 
 
+def test_hbm_budget_tier_matches_host(db, monkeypatch):
+    """With a tiny HBM budget most mask buckets spill to the host tier;
+    results must stay identical (routing + accounting, never content)."""
+    out, seqs = db
+    monkeypatch.setenv("LEXICMAP_TPU_HBM_BUDGET", "200000")  # ~0.2 MB
+    host = IndexSearcher(out, SearchOptions(engine="host"))
+    dev = IndexSearcher(out, SearchOptions(engine="device"))
+    m = dev.device_matcher
+    assert m is not None
+    assert m.budget_spill > 0, "budget did not spill any bucket"
+    assert m.hbm_bytes <= 200000
+    assert m.host_entries > 0 and "host" in m.describe()
+    rng = np.random.default_rng(5)
+    for name in ["D0", "D2"]:
+        base = bytearray(seqs[name][20000:22000])
+        for _ in range(20):
+            p = int(rng.integers(0, len(base)))
+            base[p] = ord("ACGT"[int(rng.integers(0, 4))])
+        q = bytes(base)
+        assert rows_of(host.search_bytes(q)) == rows_of(dev.search_bytes(q))
+
+
 def test_device_wfa_engine_matches_host(db):
     """--engine device --wfa device: the two-phase WFA offload (span collect
     -> batched device WFA -> op injection) reproduces the host rows exactly
