@@ -248,13 +248,19 @@ class DeviceSeedMatcher:
 
         from . import device_tripped
 
-        B = query_kmers_batch.shape[0]
+        B_real = query_kmers_batch.shape[0]
         if device_tripped():  # hung-transport breaker: host matching
-            return [None] * B
+            return [None] * B_real
+        # pad the batch dim to a bucket (8/16/32): every distinct B is a
+        # fresh jit specialization, and tail batches would otherwise pay a
+        # multi-minute tunnel compile; padded rows have no captured k-mers
+        # so they produce zero hits
+        B = next((b for b in (8, 16, 32) if b >= B_real), B_real)
         qh = np.zeros((B, self.m), dtype=np.uint32)
-        sel = query_kmers_batch != 0  # 0 = "no captured k-mer" sentinel
+        sel = np.zeros((B, self.m), dtype=bool)
+        sel[:B_real] = query_kmers_batch != 0  # 0 = "no captured k-mer"
         if sel.any():
-            h, _ = split_kmers_hi_lo(query_kmers_batch[sel], self.k)
+            h, _ = split_kmers_hi_lo(query_kmers_batch[sel[:B_real]], self.k)
             qh[sel] = h
 
         from . import count_h2d, fetch_guarded
@@ -285,7 +291,7 @@ class DeviceSeedMatcher:
                 ),
             )
             if fetched is None:  # watchdog tripped: whole batch to host
-                return [None] * B
+                return [None] * B_real
             # a count past the speculative width but under the bucket's true
             # ceiling means the fetch was too narrow, not a real overflow:
             # grow the hint and re-dispatch (the upload repeats, but only on
@@ -303,11 +309,11 @@ class DeviceSeedMatcher:
             h_cap = next(h for h in H_BUCKETS if h > h_cap)
             self._h_hint = h_cap
 
-        per_query: list[list] = [[] for _ in range(B)]
-        overflow = np.zeros(B, dtype=bool)
+        per_query: list[list] = [[] for _ in range(B_real)]
+        overflow = np.zeros(B_real, dtype=bool)
         for (keys, e0s, nhs, counts) in fetched:
             H = keys.shape[1]
-            for b in range(B):
+            for b in range(B_real):
                 if counts[b] > H:
                     overflow[b] = True
                     continue
@@ -316,7 +322,7 @@ class DeviceSeedMatcher:
                     per_query[b].append((keys[b, :n], e0s[b, :n], nhs[b, :n]))
 
         # host bisection for the few over-cap masks
-        host_extra: list[list] = [[] for _ in range(B)]
+        host_extra: list[list] = [[] for _ in range(B_real)]
         if self.host_tables:
             p = min_prefix
             suf = np.uint64((1 << (2 * (self.k - p))) - 1)
@@ -330,7 +336,7 @@ class DeviceSeedMatcher:
                         host_extra[b].append((mi, lo_i, hi_i - lo_i))
 
         out = []
-        for b in range(B):
+        for b in range(B_real):
             if overflow[b]:
                 out.append(None)
                 continue

@@ -56,8 +56,9 @@ def main() -> None:
             opt.chain_engine = "device"
     idx = IndexSearcher(index, opt)
 
-    # warm-up (mmap pages, native lib, device compile)
-    idx.search_many([qs[0]])
+    # warm-up (mmap pages, native lib, device compile) — at the SAME batch
+    # shape as the measured run, or the measured run pays the compiles
+    idx.search_many([qs[0]] * min(n_q, 32))
 
     snap = {}
     tsnap = psnap = {}

@@ -162,22 +162,101 @@ def audit_wfa(iters: int):
     }
 
 
+def audit_wfa_batch_scaling(Bs=(64, 256, 1024)):
+    """ms/pair of the WFA FORWARD pass vs batch size, chain-fit method
+    (comparable to the seed-locate row, unlike audit_wfa's end-to-end
+    number): K forward passes chained inside one jit with an opaque
+    always-zero data dependency, t(K) = RTT + K*kern fitted over two
+    depths.  The sequential wavefront depth is amortized across the
+    batch's lanes, so per-pair cost should fall ~1/B until the VPU is
+    saturated — the knee is where the many-hit regime (thousands of
+    spans per batch) should run."""
+    from lexicmap_tpu.parallel.pseudo_device import pack_codes_2bit
+    from lexicmap_tpu.parallel.wfa_device import build_wfa_step, dense_words
+
+    N = M = 512  # the bucket many-hit spans land in
+    S, W = 256, 128
+    rng = np.random.default_rng(2)
+    n = 480
+    rows = []
+    for B in Bs:
+        qp = np.zeros((B, dense_words(N)), dtype=np.uint32)
+        tp = np.zeros((B, dense_words(M)), dtype=np.uint32)
+        ns = np.full(B, n, dtype=np.int32)
+        ms = np.full(B, n, dtype=np.int32)
+        for b in range(B):
+            q = rng.integers(0, 4, n).astype(np.uint8)
+            t = q.copy()
+            mut = rng.integers(0, n, max(n // 100, 1))
+            t[mut] = (t[mut] + 1) % 4
+            qp[b] = pack_codes_2bit(q, 16 * dense_words(N))
+            tp[b] = pack_codes_2bit(t, 16 * dense_words(M))
+
+        fwd = build_wfa_step(N, M, S, W, 4, 6, 2, 10, 50)
+
+        def make_chain(k):
+            @jax.jit
+            def chained(qp_a, tp_a, ns_a, ms_a):
+                for _ in range(k):
+                    hM, hI, hD, lo, done = fwd(qp_a, tp_a, ns_a, ms_a)
+                    # opaque always-zero dependency (done >= -1 at runtime,
+                    # unprovable through the while_loop, so no DCE)
+                    dep = (done < jnp.int32(-1)).astype(jnp.uint32)
+                    qp_a = qp_a ^ dep[:, None]
+                return qp_a, done
+
+            return chained
+
+        k1, k2 = 2, 8
+        times = {}
+        args = tuple(jnp.asarray(a) for a in (qp, tp, ns, ms))
+        for k in (k1, k2):
+            fn = make_chain(k)
+            jax.block_until_ready(fn(*args))  # compile
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                jax.block_until_ready(fn(*args))
+                best = min(best, time.perf_counter() - t0)
+            times[k] = best
+        kern = max((times[k2] - times[k1]) / (k2 - k1), 1e-9)
+        rows.append(
+            {
+                "kernel": f"WFA fwd {n}bp ~1% div, B={B}",
+                "measured_us": kern * 1e6 / B,
+                "bound_us": float("nan"),
+                "bound_worst_us": float("nan"),
+                "of_bound": float("nan"),
+                "note": f"{kern*1e3:.1f} ms/batch forward (chain-fit, "
+                        f"transport excluded); {kern*1e6/B:.0f} us/pair",
+            }
+        )
+    return rows
+
+
 def main():
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     print(f"platform: {jax.devices()[0]}")
     rows = []
     rows.append(audit_seed_locate(iters))
     rows.append(audit_wfa(iters))
+    rows.extend(audit_wfa_batch_scaling())
     print()
     print("| kernel | measured | roofline bound | % of bound | note |")
     print("|---|---|---|---|---|")
     for r in rows:
-        b = f"{r['bound_us']:.0f} us"
-        if r["bound_worst_us"] != r["bound_us"]:
-            b += f" (worst-case {r['bound_worst_us']:.0f})"
+        import math
+
+        if math.isnan(r["bound_us"]):
+            b = pct = "-"
+        else:
+            b = f"{r['bound_us']:.0f} us"
+            if r["bound_worst_us"] != r["bound_us"]:
+                b += f" (worst-case {r['bound_worst_us']:.0f})"
+            pct = f"{r['of_bound']:.0f}%"
         print(
             f"| {r['kernel']} | {r['measured_us']:.0f} us | {b} "
-            f"| {r['of_bound']:.0f}% | {r['note']} |"
+            f"| {pct} | {r['note']} |"
         )
 
 
