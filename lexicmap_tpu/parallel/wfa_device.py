@@ -451,85 +451,102 @@ class DeviceWFA:
                 continue
             groups.setdefault(b, []).append(idx)
 
-        for b, idxs in groups.items():
+        for b, all_idxs in groups.items():
             N, M, S, W = b
-            fwd, tb = self._fns(b)
-            # pad the batch dim to a power of two (min 8): B is otherwise a
-            # fresh jit specialization per distinct batch size — through a
-            # remote transport each compile costs seconds, dwarfing the
-            # alignment itself.  Padding rows replicate row 0 (valid work,
-            # discarded) so the kernels see no degenerate inputs.
-            B = len(idxs)
-            B_pad = 8
-            while B_pad < B:
-                B_pad <<= 1
-            if self.mesh is not None:
-                n_dev = self.mesh.devices.size
-                B_pad = ((B_pad + n_dev - 1) // n_dev) * n_dev
-            from .pseudo_device import pack_codes_2bit
-
-            qw = np.zeros((B_pad, dense_words(N)), dtype=np.uint32)
-            tw = np.zeros((B_pad, dense_words(M)), dtype=np.uint32)
-            ns = np.zeros(B_pad, dtype=np.int32)
-            ms = np.zeros(B_pad, dtype=np.int32)
-            for row, idx in enumerate(idxs):
-                q, t = pairs[idx]
-                qw[row] = pack_codes_2bit(q, 16 * dense_words(N))
-                tw[row] = pack_codes_2bit(t, 16 * dense_words(M))
-                ns[row] = q.shape[0]
-                ms[row] = t.shape[0]
-            if B < B_pad:
-                qw[B:] = qw[0]
-                tw[B:] = tw[0]
-                ns[B:] = ns[0]
-                ms[B:] = ms[0]
-            from . import count_h2d
-
-            count_h2d("device WFA", qw, tw, ns, ms)
-            if self.mesh is not None:
-                import jax
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                axes = tuple(self.mesh.axis_names)
-                row_sh = NamedSharding(self.mesh, P(axes, None))
-                vec_sh = NamedSharding(self.mesh, P(axes))
-                qw = jax.device_put(qw, row_sh)
-                tw = jax.device_put(tw, row_sh)
-                ns = jax.device_put(ns, vec_sh)
-                ms = jax.device_put(ms, vec_sh)
-            from . import fetch_guarded
-
-            hist_M, hist_I, hist_D, los, done_s = fwd(qw, tw, ns, ms)
-            fetched = fetch_guarded(
-                tb(hist_M, hist_I, hist_D, los, done_s, ns, ms),
-                "device WFA",
-                compile_key=(b, B_pad),
-            )
-            if fetched is None:  # watchdog tripped: bucket to the host WFA
-                for idx in idxs:
-                    q, t = pairs[idx]
-                    r = wfa_align(q, t)
-                    results[idx] = r.ops if r is not None else None
-                continue
-            ops_a, cnts_a, ws, oks = fetched
-            code2op = "MXID"
-            for row, idx in enumerate(idxs):
-                if not oks[row]:
-                    # overflow / failure: host fallback (rare)
-                    q, t = pairs[idx]
-                    r = wfa_align(q, t)
-                    results[idx] = r.ops if r is not None else None
-                    continue
-                w = int(ws[row])
-                ops: list[tuple[str, int]] = []
-                for j in range(w - 1, -1, -1):  # stored newest-first
-                    opch = code2op[int(ops_a[row, j])]
-                    cnt = int(cnts_a[row, j])
-                    if cnt <= 0:
-                        continue
-                    if ops and ops[-1][0] == opch:
-                        ops[-1] = (opch, ops[-1][1] + cnt)
-                    else:
-                        ops.append((opch, cnt))
-                results[idx] = ops
+            # wavefront history is [B, S, W] int16 x3: bound the batch dim
+            # so a many-hit batch (thousands of spans) cannot exceed HBM —
+            # ~512 MB of history per dispatch, pow2 so chunk shapes reuse
+            # compiled kernels
+            b_max = 8
+            while b_max * S * W * 6 * 2 <= (512 << 20):
+                b_max <<= 1
+            for c0 in range(0, len(all_idxs), b_max):
+                idxs = all_idxs[c0 : c0 + b_max]
+                self._align_bucket(b, idxs, pairs, results)
         return results
+
+    def _align_bucket(self, b, idxs, pairs, results):
+        """One padded dispatch of bucket `b` over `idxs` (<= the bucket's
+        memory-bounded max batch)."""
+        from ..ops.wfa import wfa_align
+
+        N, M, S, W = b
+        fwd, tb = self._fns(b)
+        # pad the batch dim to a power of two (min 8): B is otherwise a
+        # fresh jit specialization per distinct batch size — through a
+        # remote transport each compile costs seconds, dwarfing the
+        # alignment itself.  Padding rows replicate row 0 (valid work,
+        # discarded) so the kernels see no degenerate inputs.
+        B = len(idxs)
+        B_pad = 8
+        while B_pad < B:
+            B_pad <<= 1
+        if self.mesh is not None:
+            n_dev = self.mesh.devices.size
+            B_pad = ((B_pad + n_dev - 1) // n_dev) * n_dev
+        from .pseudo_device import pack_codes_2bit
+
+        qw = np.zeros((B_pad, dense_words(N)), dtype=np.uint32)
+        tw = np.zeros((B_pad, dense_words(M)), dtype=np.uint32)
+        ns = np.zeros(B_pad, dtype=np.int32)
+        ms = np.zeros(B_pad, dtype=np.int32)
+        for row, idx in enumerate(idxs):
+            q, t = pairs[idx]
+            qw[row] = pack_codes_2bit(q, 16 * dense_words(N))
+            tw[row] = pack_codes_2bit(t, 16 * dense_words(M))
+            ns[row] = q.shape[0]
+            ms[row] = t.shape[0]
+        if B < B_pad:
+            qw[B:] = qw[0]
+            tw[B:] = tw[0]
+            ns[B:] = ns[0]
+            ms[B:] = ms[0]
+        from . import count_h2d
+
+        count_h2d("device WFA", qw, tw, ns, ms)
+        if self.mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axes = tuple(self.mesh.axis_names)
+            row_sh = NamedSharding(self.mesh, P(axes, None))
+            vec_sh = NamedSharding(self.mesh, P(axes))
+            qw = jax.device_put(qw, row_sh)
+            tw = jax.device_put(tw, row_sh)
+            ns = jax.device_put(ns, vec_sh)
+            ms = jax.device_put(ms, vec_sh)
+        from . import fetch_guarded
+
+        hist_M, hist_I, hist_D, los, done_s = fwd(qw, tw, ns, ms)
+        fetched = fetch_guarded(
+            tb(hist_M, hist_I, hist_D, los, done_s, ns, ms),
+            "device WFA",
+            compile_key=(b, B_pad),
+        )
+        if fetched is None:  # watchdog tripped: bucket to the host WFA
+            for idx in idxs:
+                q, t = pairs[idx]
+                r = wfa_align(q, t)
+                results[idx] = r.ops if r is not None else None
+            return
+        ops_a, cnts_a, ws, oks = fetched
+        code2op = "MXID"
+        for row, idx in enumerate(idxs):
+            if not oks[row]:
+                # overflow / failure: host fallback (rare)
+                q, t = pairs[idx]
+                r = wfa_align(q, t)
+                results[idx] = r.ops if r is not None else None
+                continue
+            w = int(ws[row])
+            ops: list[tuple[str, int]] = []
+            for j in range(w - 1, -1, -1):  # stored newest-first
+                opch = code2op[int(ops_a[row, j])]
+                cnt = int(cnts_a[row, j])
+                if cnt <= 0:
+                    continue
+                if ops and ops[-1][0] == opch:
+                    ops[-1] = (opch, ops[-1][1] + cnt)
+                else:
+                    ops.append((opch, cnt))
+            results[idx] = ops
