@@ -179,7 +179,7 @@ def start_device_engine():
     """Warm the device engine in a child process; retry ONCE in a fresh
     process if the watchdog trips during warm-up (the breaker latches
     per-process).  Returns (engine_or_None, warmup_s, retries, note)."""
-    base_to = float(os.environ.get("LEXICMAP_TPU_DEVICE_TIMEOUT", "300"))
+    base_to = float(os.environ.get("LEXICMAP_TPU_DEVICE_TIMEOUT", "600"))
     warm_to = base_to + 180  # index load + JAX init + golden re-check margin
     retries = 0
     note = ""

@@ -146,10 +146,11 @@ def fetch_guarded(
     when the breaker is (or just got) tripped — the caller must fall back
     to its host path.  The abandoned fetch thread dies with the process.
 
-    Default timeout: 300 s for the first fetch of each (call-site label,
-    compile_key) pair (cold compiles through the tunnel legitimately take
-    minutes, and each stage pays its own first compile even after another
-    stage is warm), 60 s once a fetch with the same pair has completed
+    Default timeout: 600 s for the first fetch of each (call-site label,
+    compile_key) pair — the axon session warm-up alone measures 300-320 s
+    (BENCH_r04 and the round-5 re-runs both tripped a 300 s cold timeout
+    during legitimate warm-up), and cold compiles through the tunnel take
+    minutes on top; 60 s once a fetch with the same pair has completed
     (warm dispatches finish in well under a second).
 
     compile_key: the shape-bucket / specialization key of the program(s)
@@ -169,7 +170,7 @@ def fetch_guarded(
         if env is not None:
             timeout = float(env)
         else:
-            timeout = 300.0 if wkey not in _warm_whats else 60.0
+            timeout = 600.0 if wkey not in _warm_whats else 60.0
     if timeout <= 0:
         v = jax.device_get(tree)
         acc = _tacc(what)
