@@ -994,32 +994,41 @@ class DevicePseudoAligner:
             self.stats["host_windows"] += n_win - len(dev_idx)
             return results
         for (win_ids, *_), (rows, cnt, flg) in zip(pending, fetched2):
-            # rows: [R_CAP, 9] compacted (key=win*C_CAP+chain, 8 columns),
-            # contiguous per window in (window, emission) order
-            R_CAP = rows.shape[0]
-            ptr = 0
-            for k, i in enumerate(win_ids):
-                if flg[k] != 0:
-                    self.stats[f"flag{int(flg[k])}"] = (
-                        self.stats.get(f"flag{int(flg[k])}", 0) + 1
-                    )
-                    self.stats["host_windows"] += 1
-                    continue
-                c = int(cnt[k])
-                if c == 0:
-                    results[i] = ("none", None)
-                    continue
-                if ptr + c > R_CAP or int(rows[ptr, 0]) != k * C_CAP:
-                    # truncated past the compaction cap (or key mismatch
-                    # safeguard): this window re-runs on the host
-                    self.stats["host_windows"] += 1
-                    self.stats["compact_overflow"] = (
-                        self.stats.get("compact_overflow", 0) + 1
-                    )
-                    continue
-                results[i] = ("rows", rows[ptr : ptr + c, 1:].astype(np.int64))
-                ptr += c
+            self._decode_chain_rows(win_ids, rows, cnt, flg, results)
 
         self.times["decode"] += _time.perf_counter() - _t0
         self.stats["host_windows"] += n_win - len(dev_idx)
         return results
+
+    def _decode_chain_rows(self, win_ids, rows, cnt, flg, results):
+        """Decode one chain call's compacted output into `results`.
+
+        rows: [R_CAP, 9] (key=win*C_CAP+chain, then the 8 row columns),
+        valid rows sorted to the front, contiguous per window in
+        (window, emission) order.  A window whose rows fell past R_CAP is
+        detected by the key column (its first expected row carries a
+        later window's key, or ptr ran off the cap) and keeps its
+        ("host", None) default — exactness by detection."""
+        R_CAP = rows.shape[0]
+        ptr = 0
+        for k, i in enumerate(win_ids):
+            if flg[k] != 0:
+                self.stats[f"flag{int(flg[k])}"] = (
+                    self.stats.get(f"flag{int(flg[k])}", 0) + 1
+                )
+                self.stats["host_windows"] += 1
+                continue
+            c = int(cnt[k])
+            if c == 0:
+                results[i] = ("none", None)
+                continue
+            if ptr + c > R_CAP or int(rows[ptr, 0]) != k * C_CAP:
+                # truncated past the compaction cap (or key mismatch
+                # safeguard): this window re-runs on the host
+                self.stats["host_windows"] += 1
+                self.stats["compact_overflow"] = (
+                    self.stats.get("compact_overflow", 0) + 1
+                )
+                continue
+            results[i] = ("rows", rows[ptr : ptr + c, 1:].astype(np.int64))
+            ptr += c

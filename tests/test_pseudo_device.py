@@ -97,6 +97,33 @@ def _mutate(rng, seq, n_mut):
     return bytes(b)
 
 
+def test_decode_chain_rows_truncation():
+    """The compacted-row decode: in-cap windows decode in order; windows
+    whose rows fell past R_CAP (or whose expected key is absent) fall
+    back to host; flagged and empty windows behave as before."""
+    dev = DevicePseudoAligner()
+    C = C_CAP
+    # windows: 0 -> 2 chains, 1 -> flagged, 2 -> 0 chains, 3 -> 2 chains
+    # (second one past the cap), 4 -> 1 chain (fully past the cap)
+    cnt = np.array([2, 1, 0, 2, 1], dtype=np.int32)
+    flg = np.array([0, 4, 0, 0, 0], dtype=np.int32)
+    R_CAP = 3
+    rows = np.zeros((R_CAP, 9), dtype=np.int64)
+    rows[0] = [0 * C + 0, *range(10, 18)]
+    rows[1] = [0 * C + 1, *range(20, 28)]
+    rows[2] = [3 * C + 0, *range(30, 38)]
+    results = [("host", None)] * 5
+    dev._decode_chain_rows([0, 1, 2, 3, 4], rows, cnt, flg, results)
+    assert results[0][0] == "rows" and np.array_equal(
+        results[0][1], np.array([list(range(10, 18)), list(range(20, 28))])
+    )
+    assert results[1] == ("host", None)  # flagged
+    assert results[2] == ("none", None)
+    assert results[3] == ("host", None)  # truncated (only 1 of 2 rows fit)
+    assert results[4] == ("host", None)  # fully truncated
+    assert dev.stats.get("compact_overflow", 0) == 2
+
+
 def test_random_windows_match_host():
     rng = np.random.default_rng(21)
     cases = []
