@@ -60,7 +60,11 @@ def run(nprocs: int, repeat: int):
 def main():
     repeat = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     ncores = os.cpu_count() or 1
-    ns = [1, 2] + ([4] if ncores >= 4 else [])
+    # nprocs=4 runs even on a 2-core box (workers pin to core p%ncores,
+    # 2 procs/core): there it measures work-BALANCE and oversubscription
+    # overhead, not scaling — efficiency is reported against the cores
+    # actually used
+    ns = [1, 2, 4]
     results = {}
     for n in ns:
         s = run(n, repeat)
@@ -69,13 +73,14 @@ def main():
         print(f"nprocs={n}: {json.dumps(s)}  -> {qpm:.1f} q/min", flush=True)
 
     base = results[1][1]
-    print("\n| procs | cores | wall s | q/min | efficiency vs 1 proc | host balance | parity |")
+    print("\n| procs | cores used | wall s | q/min | efficiency vs cores | host balance | parity |")
     print("|---|---|---|---|---|---|---|")
     for n in ns:
         s, qpm = results[n]
-        eff = qpm / (n * base)
+        cores = min(n, ncores)
+        eff = qpm / (cores * base)
         print(
-            f"| {n} | {n} (pinned) | {s['wall_s']} | {qpm:.0f} | "
+            f"| {n} | {cores} (pinned) | {s['wall_s']} | {qpm:.0f} | "
             f"{eff * 100:.0f}% | {s['host_balance']} | {s['parity_rows']} |"
         )
 
