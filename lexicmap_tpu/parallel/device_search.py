@@ -43,12 +43,16 @@ from .pallas_kernels import (
     split_kmers_hi_lo,
 )
 
-# masks with more entries go to the host bisection path.  2^17 keeps the
-# Pallas tile >= 8 rows within the VMEM budget; entry counts grow ~2x the
-# genome count, so this covers ~60k genomes per index shard (the compacted
-# hit payload carries e0 and n as separate i32 operands, so offsets are not
-# capped at 2^16)
-MAX_E = 1 << 17
+# entry-count ceiling of one PACKED ROW.  Masks with more entries are
+# COLUMN-CHUNKED into multiple rows of <= E_CAP contiguous entries each
+# (round 5): at the 50k-genome scale a uniform E=106368 bucket forced
+# 8-row VMEM tiles (2,500 grid steps per dispatch — the measured reason
+# the warm host beat the device there), while E_CAP=2^14 keeps tiles at
+# 64 rows.  A range hit spanning chunk rows comes back as multiple
+# (mask, e0, n) triples with contiguous ranges; match_batch merges them.
+# This also removes the old MAX_E=2^17 host-fallback ceiling entirely —
+# arbitrarily entry-heavy masks stay device-resident (HBM budget aside).
+E_CAP = 1 << 14
 VMEM_BUDGET = 8 << 20  # bytes of VMEM a tile's uint32 blocks may use
 H_CAP = 6144  # max hit masks fetched per (query, bucket)
 # the hit table is fetched at a SPECULATIVE width: real hit counts (masks
@@ -77,15 +81,15 @@ def collect_per_mask_tables(index_searcher) -> list[np.ndarray]:
     return per_mask
 
 
-def bucket_edges_for(counts: np.ndarray) -> list[int]:
+def bucket_edges_for(counts: np.ndarray, cap: int = E_CAP) -> list[int]:
     """Entry-count bucket edges from the distribution's quantiles
-    (p50/p90/p99/max, rounded up to the 128-lane width, capped at MAX_E)."""
+    (p50/p90/p99/max, rounded up to the 128-lane width, capped at `cap`)."""
     qs = np.quantile(counts, [0.5, 0.9, 0.99, 1.0]) if counts.shape[0] else [128]
     edges: list[int] = []
     for q in qs:
         e = max(((int(q) + 127) // 128) * 128, 128)
-        if e > MAX_E:
-            e = MAX_E
+        if e > cap:
+            e = cap
         # merge near-duplicate edges (uniform count distributions at large
         # genome counts would otherwise create several buckets of almost
         # identical E, each paying its own kernel compile)
@@ -99,7 +103,9 @@ def bucket_edges_for(counts: np.ndarray) -> list[int]:
 def pack_bucket_rows(per_mask, ids: np.ndarray, k: int, E: int, mb_pad: int):
     """Pack the masks `ids` into PAD_HI-padded [mb_pad, E] hi-word rows.
 
-    Returns (hi [mb_pad, E] u32, cnt [mb_pad] i32, gids [mb_pad] u32)."""
+    Returns (hi [mb_pad, E] u32, cnt [mb_pad] i32, gids [mb_pad] u32).
+    (Mask-granular packing, used by the mesh-sharded matcher; the
+    single-chip matcher packs column-chunked virtual rows below.)"""
     hi = np.full((mb_pad, E), PAD_HI, dtype=np.uint32)
     cnt = np.zeros(mb_pad, dtype=np.int32)
     for row, mi in enumerate(ids):
@@ -109,6 +115,27 @@ def pack_bucket_rows(per_mask, ids: np.ndarray, k: int, E: int, mb_pad: int):
     gids = np.full(mb_pad, INV_MASK, dtype=np.uint32)
     gids[: ids.shape[0]] = ids.astype(np.uint32)
     return hi, cnt, gids
+
+
+def pack_vrow_bucket(per_mask, vmask, vstart, vcnt, rows, k, E, mb_pad):
+    """Pack virtual chunk rows `rows` (indices into vmask/vstart/vcnt)
+    into PAD_HI-padded [mb_pad, E] hi-word rows.
+
+    Returns (hi u32 [mb_pad, E], cnt i32, gids u32 (mask id), base i32
+    (entry offset of the chunk within its mask))."""
+    hi = np.full((mb_pad, E), PAD_HI, dtype=np.uint32)
+    cnt = np.zeros(mb_pad, dtype=np.int32)
+    gids = np.full(mb_pad, INV_MASK, dtype=np.uint32)
+    base = np.zeros(mb_pad, dtype=np.int32)
+    for row, vr in enumerate(rows):
+        mi, s, c = int(vmask[vr]), int(vstart[vr]), int(vcnt[vr])
+        if c:
+            h, _ = split_kmers_hi_lo(per_mask[mi][s : s + c], k)
+            hi[row, :c] = h
+        cnt[row] = c
+        gids[row] = mi
+        base[row] = s
+    return hi, cnt, gids, base
 
 
 class DeviceSeedMatcher:
@@ -142,36 +169,62 @@ class DeviceSeedMatcher:
         assert len(per_mask) == self.m
         counts = np.array([a.shape[0] for a in per_mask], dtype=np.int64)
 
-        # adaptive E buckets: quantiles of the entry-count distribution,
-        # rounded up to the 128-lane width
-        edges = bucket_edges_for(counts)
+        # COLUMN-CHUNK entry-heavy masks into virtual rows of <= E_CAP
+        # contiguous entries (round 5): one uniform E=106k bucket at 50k
+        # genomes forced 8-row VMEM tiles; chunk rows keep tiles tall and
+        # remove the old host-fallback ceiling on entry count entirely
+        vmask: list[int] = []
+        vstart: list[int] = []
+        vcnt: list[int] = []
+        for mi, c in enumerate(counts):
+            c = int(c)
+            for r in range(max(1, -(-c // E_CAP))):
+                vmask.append(mi)
+                vstart.append(r * E_CAP)
+                vcnt.append(min(c - r * E_CAP, E_CAP))
+        vmask_a = np.array(vmask, dtype=np.int64)
+        vstart_a = np.array(vstart, dtype=np.int64)
+        vcnt_a = np.array(vcnt, dtype=np.int64)
 
-        self.buckets = []  # (E, tile, mask_ids [Mb], d_hi, d_ids, mb_pad, d_cnt)
+        # adaptive E buckets: quantiles of the chunk-count distribution,
+        # rounded up to the 128-lane width
+        edges = bucket_edges_for(vcnt_a)
+
+        self.buckets = []  # (E, tile, vrows, d_hi, d_ids, mb_pad, d_cnt, d_base)
         self.hbm_bytes = 0
-        self.budget_spill = 0  # masks pushed to host by the HBM budget
-        host_ids = list(np.nonzero(counts > MAX_E)[0])
-        assigned = counts > MAX_E
+        self.budget_spill = 0  # chunk rows pushed to host by the HBM budget
+        host_rows: list[int] = []
+        assigned = np.zeros(vmask_a.shape[0], dtype=bool)
         for E in edges:
-            ids = np.nonzero(~assigned & (counts <= E))[0]
-            assigned |= counts <= E
-            if ids.shape[0] == 0:
+            rows = np.nonzero(~assigned & (vcnt_a <= E))[0]
+            assigned |= vcnt_a <= E
+            if rows.shape[0] == 0:
                 continue
             tile = _tile_for(E, tile_m)
-            mb_pad = ((ids.shape[0] + tile - 1) // tile) * tile
+            mb_pad = ((rows.shape[0] + tile - 1) // tile) * tile
             if self.hbm_bytes + mb_pad * E * 4 > hbm_budget:
-                # over budget: this bucket's masks (the entry-heaviest so
+                # over budget: this bucket's rows (the entry-heaviest so
                 # far, since edges ascend) stay on the host tier
-                host_ids.extend(ids)
-                self.budget_spill += ids.shape[0]
+                host_rows.extend(rows)
+                self.budget_spill += rows.shape[0]
                 continue
-            hi, cnt, ids_pad = pack_bucket_rows(per_mask, ids, self.k, E, mb_pad)
+            hi, cnt, gids, base = pack_vrow_bucket(
+                per_mask, vmask_a, vstart_a, vcnt_a, rows, self.k, E, mb_pad
+            )
+            row_masks = vmask_a[rows]  # mask id per packed row (qh routing)
             self.buckets.append(
-                (E, tile, ids, jnp.asarray(hi), jnp.asarray(ids_pad), mb_pad,
-                 jnp.asarray(cnt))
+                (E, tile, row_masks, jnp.asarray(hi), jnp.asarray(gids), mb_pad,
+                 jnp.asarray(cnt), jnp.asarray(base))
             )
             self.hbm_bytes += mb_pad * E * 4
-        # host-tier masks keep their sorted entry arrays
-        self.host_tables = {int(mi): per_mask[mi] for mi in host_ids}
+        # host-tier chunk rows keep their sorted entry slices,
+        # keyed (mask, chunk start)
+        self.host_tables = {
+            (int(vmask_a[vr]), int(vstart_a[vr])): per_mask[vmask_a[vr]][
+                vstart_a[vr] : vstart_a[vr] + vcnt_a[vr]
+            ]
+            for vr in host_rows
+        }
         self.host_entries = int(sum(t.shape[0] for t in self.host_tables.values()))
         self.total_entries = int(counts.sum())
 
@@ -196,10 +249,11 @@ class DeviceSeedMatcher:
             import jax
             import jax.numpy as jnp
 
-            E, tile, _, _, _, mb_pad, _ = self.buckets[bucket_index]
+            E, tile, _, _, _, mb_pad, _, _ = self.buckets[bucket_index]
             H = min(h_cap, mb_pad)
 
-            def call(d_hi, d_cnt, d_ids, qh_b, qv_b, t=tile, p=min_prefix, H=H):
+            def call(d_hi, d_cnt, d_ids, d_base, qh_b, qv_b, t=tile,
+                     p=min_prefix, H=H):
                 # whole-batch locate in ONE kernel (batch = grid dim;
                 # vmap-of-pallas_call hangs the axon backend's compiler).
                 # qv rides the transport as uint8 (a flag per mask; i32
@@ -208,6 +262,8 @@ class DeviceSeedMatcher:
                     d_hi, d_cnt, qh_b, qv_b.astype(jnp.int32), p=p, tile_m=t,
                     interpret=self.interpret,
                 )  # [B, mb_pad] i32
+                # globalize chunk-local entry offsets (column-chunked rows)
+                e0 = e0 + d_base[None, :]
                 hit = nh > 0
                 keys = jnp.where(hit, d_ids[None, :], jnp.uint32(0xFFFFFFFF))
                 # e0 and n ride as separate operands (e0 may exceed 2^16 for
@@ -225,13 +281,13 @@ class DeviceSeedMatcher:
 
     def describe(self) -> str:
         parts = [
-            f"E={E} x {ids.shape[0]} masks (tile {tile})"
-            for E, tile, ids, *_ in self.buckets
+            f"E={E} x {row_masks.shape[0]} rows (tile {tile})"
+            for E, tile, row_masks, *_ in self.buckets
         ]
         if self.host_tables:
             cov = 1.0 - self.host_entries / max(self.total_entries, 1)
             parts.append(
-                f"host tier: {len(self.host_tables)} masks"
+                f"host tier: {len(self.host_tables)} chunk rows"
                 + (f" ({self.budget_spill} budget-spilled)" if self.budget_spill else "")
                 + f"; device covers {cov:.1%} of entries"
             )
@@ -268,17 +324,18 @@ class DeviceSeedMatcher:
         h_cap = getattr(self, "_h_hint", H_BUCKETS[0])
         while True:
             pending = []
-            for bi, (E, tile, ids, d_hi, d_ids, mb_pad, d_cnt) in enumerate(
-                self.buckets
+            for bi, (E, tile, row_masks, d_hi, d_ids, mb_pad, d_cnt, d_base) in (
+                enumerate(self.buckets)
             ):
                 qh_b = np.zeros((B, mb_pad), dtype=np.uint32)
-                qh_b[:, : ids.shape[0]] = qh[:, ids]
+                qh_b[:, : row_masks.shape[0]] = qh[:, row_masks]
                 qv_b = np.zeros((B, mb_pad), dtype=np.uint8)
-                qv_b[:, : ids.shape[0]] = sel[:, ids]
+                qv_b[:, : row_masks.shape[0]] = sel[:, row_masks]
                 fn = self._bucket_fn(bi, min_prefix, h_cap)
                 count_h2d("device seed matching", qh_b, qv_b)
                 pending.append(
-                    fn(d_hi, d_cnt, d_ids, jnp.asarray(qh_b), jnp.asarray(qv_b))
+                    fn(d_hi, d_cnt, d_ids, d_base, jnp.asarray(qh_b),
+                       jnp.asarray(qv_b))
                 )
 
             fetched = fetch_guarded(
@@ -287,7 +344,7 @@ class DeviceSeedMatcher:
                 compile_key=(
                     min_prefix,
                     h_cap,
-                    tuple((E, tile, mb) for E, tile, _, _, _, mb, _ in self.buckets),
+                    tuple((b[0], b[1], b[5]) for b in self.buckets),
                 ),
             )
             if fetched is None:  # watchdog tripped: whole batch to host
@@ -297,11 +354,9 @@ class DeviceSeedMatcher:
             # grow the hint and re-dispatch (the upload repeats, but only on
             # the rare hint transition)
             retry = False
-            for (keys, e0s, nhs, counts), (E, tile, ids, *_, mb_pad, _c) in zip(
-                fetched, self.buckets
-            ):
+            for (keys, e0s, nhs, counts), b in zip(fetched, self.buckets):
                 H = keys.shape[1]
-                ceiling = min(H_CAP, mb_pad)
+                ceiling = min(H_CAP, b[5])  # b[5] = mb_pad
                 if H < ceiling and any(int(c) > H for c in counts):
                     retry = True
             if not retry:
@@ -321,19 +376,19 @@ class DeviceSeedMatcher:
                 if n:
                     per_query[b].append((keys[b, :n], e0s[b, :n], nhs[b, :n]))
 
-        # host bisection for the few over-cap masks
+        # host bisection for the budget-spilled chunk rows
         host_extra: list[list] = [[] for _ in range(B_real)]
         if self.host_tables:
             p = min_prefix
             suf = np.uint64((1 << (2 * (self.k - p))) - 1)
-            for mi, table in self.host_tables.items():
+            for (mi, start), table in self.host_tables.items():
                 col = query_kmers_batch[:, mi]
                 for b in np.nonzero(col != 0)[0]:
                     q = col[b]
                     lo_i = int(np.searchsorted(table, q & ~suf, side="left"))
                     hi_i = int(np.searchsorted(table, q | suf, side="right"))
                     if hi_i > lo_i:
-                        host_extra[b].append((mi, lo_i, hi_i - lo_i))
+                        host_extra[b].append((mi, start + lo_i, hi_i - lo_i))
 
         out = []
         for b in range(B_real):
@@ -353,8 +408,21 @@ class DeviceSeedMatcher:
                 e0 = np.concatenate([e0, [o for _, o, _ in host_extra[b]]])
                 nh = np.concatenate([nh, [n for _, _, n in host_extra[b]]])
             if hm.shape[0] > 1:
-                order = np.argsort(hm, kind="stable")
+                order = np.lexsort((e0, hm))
                 hm, e0, nh = hm[order], e0[order], nh[order]
+                # merge chunk-spanning range hits: a prefix range crossing
+                # column-chunk boundaries comes back as multiple triples of
+                # the same mask with contiguous [e0, e0+n) — coalesce them
+                # so downstream sees the host path's one-triple-per-mask
+                # shape
+                new_run = np.empty(hm.shape[0], dtype=bool)
+                new_run[0] = True
+                new_run[1:] = (hm[1:] != hm[:-1]) | (e0[1:] != e0[:-1] + nh[:-1])
+                if not new_run.all():
+                    starts = np.nonzero(new_run)[0]
+                    hm = hm[starts]
+                    e0 = e0[starts]
+                    nh = np.add.reduceat(nh, starts)
             out.append((hm, e0, nh))
         return out
 

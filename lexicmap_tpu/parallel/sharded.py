@@ -137,7 +137,6 @@ class ShardedSeedMatcher:
 
         ensure_jax()
         from .device_search import (
-            MAX_E,
             bucket_edges_for,
             collect_per_mask_tables,
             pack_bucket_rows,
@@ -153,17 +152,22 @@ class ShardedSeedMatcher:
         self.tp = tp = mesh.devices.shape[1]
         self.dp = mesh.devices.shape[0]
 
+        # masks beyond this stay on the host tier (the single-chip matcher
+        # column-chunks them instead; the mesh layout keeps whole masks
+        # per shard row — chunking across shards is future work)
+        SHARD_MAX_E = 1 << 17
+
         per_mask = collect_per_mask_tables(index_searcher)
         assert len(per_mask) == self.m
         counts = np.array([a.shape[0] for a in per_mask], dtype=np.int64)
-        edges = bucket_edges_for(counts)
+        edges = bucket_edges_for(counts, cap=SHARD_MAX_E)
         shard_of = np.arange(self.m) % tp  # round-robin balance
 
         # per bucket: stacked per-shard tables [tp, mb_pad, E]
         self.buckets = []  # (E, tile, d_hi, d_cnt, d_gids, mb_pad, ids_per_shard)
         self.hbm_bytes = 0
-        host_ids = np.nonzero(counts > MAX_E)[0]
-        assigned = counts > MAX_E
+        host_ids = np.nonzero(counts > SHARD_MAX_E)[0]
+        assigned = counts > SHARD_MAX_E
         for E in edges:
             sel = ~assigned & (counts <= E)
             assigned |= counts <= E

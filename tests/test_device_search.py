@@ -52,6 +52,41 @@ def test_device_engine_matches_host(db):
         assert r_host and r_host[0].genome_id.decode() == name
 
 
+def test_column_chunked_masks_match_host(db, monkeypatch):
+    """With E_CAP forced tiny, every mask splits into many column-chunk
+    rows; range hits spanning chunk boundaries must come back merged
+    (one contiguous (e0, n) per mask) and search output must be
+    identical to the host path."""
+    from lexicmap_tpu.parallel import device_search as ds
+
+    out, seqs = db
+    monkeypatch.setattr(ds, "E_CAP", 4)
+    host = IndexSearcher(out, SearchOptions(engine="host"))
+    dev = IndexSearcher(out, SearchOptions(engine="device"))
+    m = dev.device_matcher
+    assert m is not None
+    n_rows = sum(b[2].shape[0] for b in m.buckets)
+    assert n_rows > m.m, "no mask was column-chunked"
+    rng = np.random.default_rng(9)
+    for name in ["D0", "D1"]:
+        base = bytearray(seqs[name][30000:32000])
+        for _ in range(20):
+            p = int(rng.integers(0, len(base)))
+            base[p] = ord("ACGT"[int(rng.integers(0, 4))])
+        q = bytes(base)
+        assert rows_of(host.search_bytes(q)) == rows_of(dev.search_bytes(q))
+        # merged triples: per mask at most one (contiguous) range
+        from lexicmap_tpu.utils.kmers import seq_to_codes
+
+        kmers, _ = dev._mask_query(seq_to_codes(q.upper()))
+        hits = m.match(kmers, dev.opt.min_prefix)
+        assert hits is not None
+        hm, e0, nh = hits
+        # same-mask duplicates may only remain when ranges are
+        # NON-contiguous (cannot happen for a single prefix range)
+        assert len(np.unique(hm)) == hm.shape[0], "unmerged chunk triples"
+
+
 def test_hbm_budget_tier_matches_host(db, monkeypatch):
     """With a tiny HBM budget most mask buckets spill to the host tier;
     results must stay identical (routing + accounting, never content)."""
