@@ -323,30 +323,41 @@ class DeviceSeedMatcher:
 
         h_cap = getattr(self, "_h_hint", H_BUCKETS[0])
         while True:
-            pending = []
-            for bi, (E, tile, row_masks, d_hi, d_ids, mb_pad, d_cnt, d_base) in (
-                enumerate(self.buckets)
-            ):
-                qh_b = np.zeros((B, mb_pad), dtype=np.uint32)
-                qh_b[:, : row_masks.shape[0]] = qh[:, row_masks]
-                qv_b = np.zeros((B, mb_pad), dtype=np.uint8)
-                qv_b[:, : row_masks.shape[0]] = sel[:, row_masks]
-                fn = self._bucket_fn(bi, min_prefix, h_cap)
-                count_h2d("device seed matching", qh_b, qv_b)
-                pending.append(
-                    fn(d_hi, d_cnt, d_ids, d_base, jnp.asarray(qh_b),
-                       jnp.asarray(qv_b))
-                )
+            try:
+                pending = []
+                for bi, (E, tile, row_masks, d_hi, d_ids, mb_pad, d_cnt,
+                         d_base) in enumerate(self.buckets):
+                    qh_b = np.zeros((B, mb_pad), dtype=np.uint32)
+                    qh_b[:, : row_masks.shape[0]] = qh[:, row_masks]
+                    qv_b = np.zeros((B, mb_pad), dtype=np.uint8)
+                    qv_b[:, : row_masks.shape[0]] = sel[:, row_masks]
+                    fn = self._bucket_fn(bi, min_prefix, h_cap)
+                    count_h2d("device seed matching", qh_b, qv_b)
+                    pending.append(
+                        fn(d_hi, d_cnt, d_ids, d_base, jnp.asarray(qh_b),
+                           jnp.asarray(qv_b))
+                    )
 
-            fetched = fetch_guarded(
-                pending,
-                "device seed matching",
-                compile_key=(
-                    min_prefix,
-                    h_cap,
-                    tuple((b[0], b[1], b[5]) for b in self.buckets),
-                ),
-            )
+                fetched = fetch_guarded(
+                    pending,
+                    "device seed matching",
+                    compile_key=(
+                        min_prefix,
+                        h_cap,
+                        tuple((b[0], b[1], b[5]) for b in self.buckets),
+                    ),
+                )
+            except Exception as e:
+                # a shared chip can refuse the dispatch's transient memory
+                # even when the resident table fit at init (observed at
+                # 50k: 8.2 GB table + tenant variance).  Degrade to host
+                # matching for the process instead of crashing the query.
+                if "RESOURCE_EXHAUSTED" in str(e) or "ResourceExhausted" in str(e):
+                    from . import trip_device
+
+                    trip_device("device seed matching out of HBM")
+                    return [None] * B_real
+                raise
             if fetched is None:  # watchdog tripped: whole batch to host
                 return [None] * B_real
             # a count past the speculative width but under the bucket's true
