@@ -203,11 +203,19 @@ class DeviceSeedMatcher:
             tile = _tile_for(E, tile_m)
             mb_pad = ((rows.shape[0] + tile - 1) // tile) * tile
             if self.hbm_bytes + mb_pad * E * 4 > hbm_budget:
-                # over budget: this bucket's rows (the entry-heaviest so
-                # far, since edges ascend) stay on the host tier
-                host_rows.extend(rows)
-                self.budget_spill += rows.shape[0]
-                continue
+                # over budget: admit only the row prefix that fits (tile
+                # multiple); the rest of this bucket and everything after
+                # stays on the host tier.  Granular admission matters when
+                # one uniform bucket holds the whole table (50k genomes:
+                # a single E=16384 x 125k-row bucket).
+                fit = (hbm_budget - self.hbm_bytes) // (E * 4) // tile * tile
+                spilled = rows[fit:]
+                host_rows.extend(spilled)
+                self.budget_spill += spilled.shape[0]
+                rows = rows[:fit]
+                if rows.shape[0] == 0:
+                    continue
+                mb_pad = rows.shape[0]
             hi, cnt, gids, base = pack_vrow_bucket(
                 per_mask, vmask_a, vstart_a, vcnt_a, rows, self.k, E, mb_pad
             )
