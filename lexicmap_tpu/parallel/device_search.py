@@ -235,6 +235,21 @@ class DeviceSeedMatcher:
         }
         self.host_entries = int(sum(t.shape[0] for t in self.host_tables.values()))
         self.total_entries = int(counts.sum())
+        # concatenated host-tier layout for the vectorized bisection in
+        # match_batch (a Python loop over spilled rows x queries measured
+        # as the dominant cost of partial-residency runs)
+        if self.host_tables:
+            items = list(self.host_tables.items())
+            self._ht_mi = np.array([mi for (mi, _), _ in items], dtype=np.int64)
+            self._ht_start = np.array([s for (_, s), _ in items], dtype=np.int64)
+            lens = np.array([t.shape[0] for _, t in items], dtype=np.int64)
+            self._ht_off = np.zeros(len(items) + 1, dtype=np.int64)
+            np.cumsum(lens, out=self._ht_off[1:])
+            self._ht_cat = (
+                np.concatenate([np.asarray(t) for _, t in items])
+                if len(items)
+                else np.empty(0, dtype=np.uint64)
+            )
 
         # per-mask global entry offsets into each chunk, for posting gather
         self.entry_base = np.zeros(self.m, dtype=np.int64)
@@ -395,19 +410,33 @@ class DeviceSeedMatcher:
                 if n:
                     per_query[b].append((keys[b, :n], e0s[b, :n], nhs[b, :n]))
 
-        # host bisection for the budget-spilled chunk rows
+        # host bisection for the budget-spilled chunk rows — vectorized
+        # over all (row, query) pairs (searchsorted_segments over the
+        # concatenated tier; a Python per-row loop dominated
+        # partial-residency runs)
         host_extra: list[list] = [[] for _ in range(B_real)]
         if self.host_tables:
-            p = min_prefix
-            suf = np.uint64((1 << (2 * (self.k - p))) - 1)
-            for (mi, start), table in self.host_tables.items():
-                col = query_kmers_batch[:, mi]
-                for b in np.nonzero(col != 0)[0]:
-                    q = col[b]
-                    lo_i = int(np.searchsorted(table, q & ~suf, side="left"))
-                    hi_i = int(np.searchsorted(table, q | suf, side="right"))
-                    if hi_i > lo_i:
-                        host_extra[b].append((mi, start + lo_i, hi_i - lo_i))
+            from ..index.search import searchsorted_segments
+
+            suf = np.uint64((1 << (2 * (self.k - min_prefix))) - 1)
+            km = query_kmers_batch[:, self._ht_mi]  # [B_real, R]
+            bsel, rsel = np.nonzero(km != 0)
+            if bsel.shape[0]:
+                q = km[bsel, rsel]
+                lo0 = self._ht_off[rsel]
+                hi0 = self._ht_off[rsel + 1]
+                lo_i = searchsorted_segments(self._ht_cat, lo0, hi0, q & ~suf, "left")
+                hi_i = searchsorted_segments(self._ht_cat, lo0, hi0, q | suf, "right")
+                n = hi_i - lo_i
+                for j in np.nonzero(n > 0)[0]:
+                    r = rsel[j]
+                    host_extra[bsel[j]].append(
+                        (
+                            int(self._ht_mi[r]),
+                            int(self._ht_start[r] + lo_i[j] - self._ht_off[r]),
+                            int(n[j]),
+                        )
+                    )
 
         out = []
         for b in range(B_real):
