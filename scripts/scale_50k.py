@@ -4,11 +4,12 @@ The seed-table axis that actually grows with genome count is entries per
 mask (~2x the genome count) and postings per k-mer — not genome length —
 so this probe holds total bases near the 10k run (~5 Gbp) while scaling
 the COUNT 5x: 50,000 genomes of 80-120 kb.  At 50k genomes the per-mask
-entry counts (~100k) press against the device matcher's MAX_E=2^17 bucket
-ceiling and the whole-table HBM residency (~8 GB hi-words), which is what
-the LEXICMAP_TPU_HBM_BUDGET tier exists for (device_search.py): only the
-buckets that fit the budget stay HBM-resident, the tail matches on host,
-and --debug reports the coverage split.
+entry counts (~106k) exceed one packed row (E_CAP=2^14) so the matcher
+column-chunks them, and the whole-table HBM residency (~8 GB hi-words)
+presses against the LEXICMAP_TPU_HBM_BUDGET tier (device_search.py):
+rows that fit the budget stay HBM-resident (granular, row-prefix
+admission), the tail matches on the vectorized host tier, and --debug /
+describe() report the entry-coverage split.
 
 Usage: python scripts/scale_50k.py [gen|build|search] [--n 50000]
 """
